@@ -27,10 +27,9 @@ import jax
 import jax.numpy as jnp
 
 from ray_tracing_in_one_weekend_tpu.models.scene import Scene
-from ray_tracing_in_one_weekend_tpu.ops import sampling
 from ray_tracing_in_one_weekend_tpu.ops import vecmath as vm
 from ray_tracing_in_one_weekend_tpu.ops.intersect import hit_scene
-from ray_tracing_in_one_weekend_tpu.ops.materials import scatter
+from ray_tracing_in_one_weekend_tpu.ops.materials import scatter_sampled
 
 # Sky gradient endpoints (reference: src/gpu/camera.h:120-122).
 SKY_WHITE = (1.0, 1.0, 1.0)
@@ -53,6 +52,7 @@ def trace_rays(
     direction: jnp.ndarray,
     keys: jax.Array,
     max_depth: int,
+    differentiable: bool = False,
 ) -> jnp.ndarray:
     """Trace a flat batch of rays to radiance.
 
@@ -62,6 +62,13 @@ def trace_rays(
       keys: [R] per-ray keys (already folded with pixel & sample indices).
       max_depth: static bounce limit (reference default 50,
         reference: src/gpu/camera.h:58).
+      differentiable: when True, run a fixed-trip-count `fori_loop`
+        (reverse-differentiable). When False, run a `while_loop` that
+        exits as soon as EVERY ray in the batch has retired — the batched
+        analogue of the CUDA per-thread early return
+        (reference: src/gpu/camera.h:124-130); most rays escape to the
+        sky in a few bounces, so this skips the long tail of the
+        depth-50 budget.
 
     Returns radiance [R, 3].
     """
@@ -70,8 +77,25 @@ def trace_rays(
     attenuation = jnp.ones((n_rays, 3), origin.dtype)
     alive = jnp.ones((n_rays,), bool)
 
+    # Bulk-draw the whole bounce budget's randomness up front: two
+    # batched counter-mode sweeps ([R, D, 3] Gaussians -> unit vectors,
+    # [R, D] uniforms) instead of 2 scalar threefry draws per ray per
+    # bounce. Same keys, so still chunk/shard-layout invariant.
+    gauss = jax.vmap(
+        lambda k: jax.random.normal(
+            jax.random.fold_in(k, 0), (max_depth, 3), dtype=jnp.float32
+        )
+    )(keys)
+    sq = jnp.sum(gauss * gauss, axis=-1, keepdims=True)
+    unit_samples = gauss * jax.lax.rsqrt(jnp.maximum(sq, 1e-12))  # [R, D, 3]
+    reflect_us = jax.vmap(
+        lambda k: jax.random.uniform(
+            jax.random.fold_in(k, 1), (max_depth,), dtype=jnp.float32
+        )
+    )(keys)  # [R, D]
+
     def bounce(i, carry):
-        o, d, atten, rad, live, ks = carry
+        o, d, atten, rad, live = carry
 
         rec = hit_scene(scene, o, d)
 
@@ -80,19 +104,34 @@ def trace_rays(
         miss = live & ~rec.hit
         rad = rad + jnp.where(miss[:, None], atten * sky_color(d), 0.0)
 
-        bounce_keys = sampling.fold_b(ks, i)
-        new_dir, mat_atten, scat_ok = scatter(rec, d, bounce_keys)
+        unit_sample = jax.lax.dynamic_index_in_dim(
+            unit_samples, i, axis=1, keepdims=False
+        )
+        reflect_u = jax.lax.dynamic_index_in_dim(
+            reflect_us, i, axis=1, keepdims=False
+        )
+        new_dir, mat_atten, scat_ok = scatter_sampled(rec, d, unit_sample, reflect_u)
 
         cont = live & rec.hit & scat_ok  # continues bouncing
         atten = jnp.where(cont[:, None], atten * mat_atten, atten)
         o = jnp.where(cont[:, None], rec.point, o)
         d = jnp.where(cont[:, None], new_dir, d)
 
-        return o, d, atten, rad, cont, ks
+        return o, d, atten, rad, cont
 
-    _, _, _, radiance, _, _ = jax.lax.fori_loop(
-        0, max_depth, bounce, (origin, direction, attenuation, radiance, alive, keys)
-    )
+    init = (origin, direction, attenuation, radiance, alive)
+    if differentiable:
+        _, _, _, radiance, _ = jax.lax.fori_loop(0, max_depth, bounce, init)
+    else:
+        def cond(state):
+            i, carry = state
+            return (i < max_depth) & jnp.any(carry[4])
+
+        def body(state):
+            i, carry = state
+            return i + 1, bounce(i, carry)
+
+        _, (_, _, _, radiance, _) = jax.lax.while_loop(cond, body, (0, init))
     return radiance
 
 

@@ -55,21 +55,36 @@ def scatter(
     in_direction: jnp.ndarray,
     keys: jax.Array,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Scatter with randomness drawn from per-ray keys (convenience /
+    test entry; the integrator pre-draws in bulk and calls
+    `scatter_sampled` directly)."""
+    unit_sample = sampling.unit_vector_b(sampling.fold_b(keys, 0))  # [R, 3]
+    reflect_u = sampling.uniform_b(sampling.fold_b(keys, 1))  # [R]
+    return scatter_sampled(rec, in_direction, unit_sample, reflect_u)
+
+
+def scatter_sampled(
+    rec: HitRecord,
+    in_direction: jnp.ndarray,
+    unit_sample: jnp.ndarray,
+    reflect_u: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Scatter every ray against its hit material.
 
     Args:
       rec: batched hit record (material params pre-gathered).
       in_direction: incident ray directions [R, 3] (not necessarily unit).
-      keys: per-ray keys [R].
+      unit_sample: [R, 3] uniform unit vectors (the one shared random
+        direction: lambertian offset AND metal fuzz perturbation, as in
+        the reference where each material draws its own
+        `random_unit_vector`, reference: src/gpu/material.h:29,52).
+      reflect_u: [R] uniforms for the dielectric reflect/refract choice.
 
     Returns:
       (scattered_direction [R, 3], attenuation [R, 3], scattered_ok [R]).
       `scattered_ok` is False only for absorbed metal rays
       (reference: src/gpu/material.h:58).
     """
-    unit_sample = sampling.unit_vector_b(sampling.fold_b(keys, 0))  # [R, 3]
-    reflect_u = sampling.uniform_b(sampling.fold_b(keys, 1))  # [R]
-
     unit_in = vm.unit_vector(in_direction)
     normal = rec.normal
 

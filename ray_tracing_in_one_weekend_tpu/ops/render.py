@@ -42,12 +42,16 @@ def render_pixels(
     pixel_indices: jnp.ndarray,
     base_key: jax.Array,
     spp: int | None = None,
+    sample_offset: jnp.ndarray | int = 0,
+    differentiable: bool = False,
 ) -> jnp.ndarray:
     """Render an arbitrary flat batch of global pixel indices.
 
     Returns the linear sample-mean color [R, 3]. This is the unit the
     distributed layer shards: any subset of pixels renders identically
-    regardless of which device renders it.
+    regardless of which device renders it. `sample_offset` shifts the
+    GLOBAL sample indices this call draws (the spp-sharding hook: device
+    d of S renders samples [d*spp/S, (d+1)*spp/S) of the same pixels).
     """
     spp = cam.samples_per_pixel if spp is None else spp
     px = pixel_indices % cam.image_width
@@ -58,11 +62,14 @@ def render_pixels(
     )
 
     def sample_body(s, acc):
-        keys = sampling.fold_b(pixel_keys, s)
+        keys = sampling.fold_b(pixel_keys, sample_offset + s)
         ray_keys = sampling.fold_b(keys, 0)
         trace_keys = sampling.fold_b(keys, 1)
         origin, direction = get_rays(cam, px, py, ray_keys)
-        color = trace_rays(scene, origin, direction, trace_keys, cam.max_depth)
+        color = trace_rays(
+            scene, origin, direction, trace_keys, cam.max_depth,
+            differentiable=differentiable,
+        )
         return acc + color
 
     total = jax.lax.fori_loop(
@@ -71,34 +78,64 @@ def render_pixels(
     return total / spp
 
 
+def render_flat(
+    scene: Scene,
+    cam: Camera,
+    pixel_indices: jnp.ndarray,
+    base_key: jax.Array,
+    chunk_size: int = DEFAULT_CHUNK,
+    spp: int | None = None,
+    sample_offset: jnp.ndarray | int = 0,
+    differentiable: bool = False,
+) -> jnp.ndarray:
+    """Chunked render of a flat batch of global pixel indices -> [R, 3].
+
+    Chunks are processed sequentially with `lax.map` so peak memory is
+    O(chunk_size * num_spheres) regardless of batch size — the analogue
+    of the CUDA grid launching more blocks than fit at once
+    (reference: src/gpu/main.cu:113-118). The distributed layer calls
+    this per device shard.
+    """
+    n = pixel_indices.shape[0]
+    chunk_size = min(chunk_size, n)
+    n_chunks = -(-n // chunk_size)
+    padded = n_chunks * chunk_size
+    # Pad with repeats of the last index; sliced away below.
+    pad_pos = jnp.minimum(jnp.arange(padded), n - 1)
+    chunks = pixel_indices[pad_pos].reshape(n_chunks, chunk_size)
+
+    if n_chunks == 1:
+        colors = render_pixels(
+            scene, cam, chunks[0], base_key, spp=spp,
+            sample_offset=sample_offset, differentiable=differentiable,
+        )[None]
+    else:
+        colors = jax.lax.map(
+            lambda c: render_pixels(
+                scene, cam, c, base_key, spp=spp,
+                sample_offset=sample_offset, differentiable=differentiable,
+            ),
+            chunks,
+        )
+    return colors.reshape(padded, 3)[:n]
+
+
 def render(
     scene: Scene,
     cam: Camera,
     base_key: jax.Array,
     chunk_size: int = DEFAULT_CHUNK,
     spp: int | None = None,
+    differentiable: bool = False,
 ) -> jnp.ndarray:
-    """Render the full image; returns the linear framebuffer [H, W, 3].
-
-    Chunks are processed sequentially with `lax.map` so peak memory is
-    O(chunk_size * num_spheres) regardless of image size — the analogue
-    of the CUDA grid launching more blocks than fit at once
-    (reference: src/gpu/main.cu:113-118).
-    """
+    """Render the full image; returns the linear framebuffer [H, W, 3]."""
     w, h = cam.image_width, cam.image_height
     n_pixels = w * h
-    chunk_size = min(chunk_size, n_pixels)
-
-    n_chunks = -(-n_pixels // chunk_size)
-    padded = n_chunks * chunk_size
-    # Pad with repeats of the last pixel; sliced away below.
-    idx = jnp.minimum(jnp.arange(padded), n_pixels - 1)
-    chunks = idx.reshape(n_chunks, chunk_size)
-
-    colors = jax.lax.map(
-        lambda c: render_pixels(scene, cam, c, base_key, spp=spp), chunks
+    colors = render_flat(
+        scene, cam, jnp.arange(n_pixels), base_key, chunk_size=chunk_size,
+        spp=spp, differentiable=differentiable,
     )
-    return colors.reshape(padded, 3)[:n_pixels].reshape(h, w, 3)
+    return colors.reshape(h, w, 3)
 
 
 def render_image(
