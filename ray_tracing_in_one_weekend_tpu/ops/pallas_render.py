@@ -1,0 +1,481 @@
+"""Pallas TPU render kernel — the hot path.
+
+This is the TPU-native analogue of the reference's CUDA `render` kernel
+(reference: src/gpu/camera.h:169-195, launched at src/gpu/main.cu:113-132
+as a 2D grid of 16x16 thread blocks, one thread per pixel). Design
+mapping, hardware-first:
+
+* CUDA thread block (256 pixels)  ->  Pallas grid step over a TILE of
+  `TILE` consecutive flat pixels, laid out **rays-across-lanes**: every
+  per-ray scalar is a `[1, TILE]` row, every per-ray vec3 a `[3, TILE]`
+  block (TILE = S*128 lanes). All bounce/sample state lives in VMEM for
+  the whole tile — zero HBM traffic inside the loop (the pure-jnp path
+  streams [R, 512] intermediates through HBM every bounce; this kernel
+  is why the Pallas path exists).
+* per-thread curand stream        ->  counter-based PCG hash streams
+  keyed by GLOBAL (pixel, sample, bounce, draw); Box-Muller for unit
+  vectors. Pure uint32 VPU math, identical compiled and interpreted.
+* per-thread iterative ray_color  ->  in-kernel `while_loop` carrying
+  (o, d, attenuation, radiance, alive) [3, TILE] blocks, exiting when
+  every lane in the tile has retired (the batched form of the CUDA
+  early `return`, reference: src/gpu/camera.h:124-130).
+* virtual hittable_list::hit scan ->  sphere-CHUNKED closest-hit: the
+  512-slot SoA scene is swept in chunks of 128 spheres; each chunk
+  computes candidate ts as a `[128, TILE]` block (sphere axis on
+  sublanes, rays on lanes) and folds into a running (t_best,
+  params_best). The winning sphere's 16 packed parameters are gathered
+  with a ONE-HOT MATMUL `[16,128] @ [128,TILE]` on the MXU — TPU has no
+  per-lane gather; this is the idiomatic replacement.
+* material* virtual scatter       ->  branchless 3-way select on the
+  gathered mat_type row (same math as ops/materials.py).
+
+Scene packing (`pack_scene`): a `[16, N]` parameter matrix P (rows:
+cx,cy,cz,r, r^2, alb_r,alb_g,alb_b, fuzz, ior, mat_type, active, pad)
+and its transpose `[N, 16]` for sublane-axis broadcasts.
+
+RNG NOTE: the kernel's PCG streams differ from the threefry streams of
+the pure-jnp path — the two paths agree statistically (same sampling
+distributions, documented in ops/sampling.py), not bitwise. The jnp path
+remains the parity oracle vs the reference; the kernel is validated
+against it at moderate spp (tests/test_pallas.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ray_tracing_in_one_weekend_tpu.models.camera import Camera
+from ray_tracing_in_one_weekend_tpu.models.scene import Scene
+
+# Rays per tile: S sublane-tiles of 128 lanes.
+DEFAULT_TILE = 2048
+
+# Keep in sync with ops/intersect.py.
+T_MISS = 1e30
+T_MIN_EPS = 1e-3
+
+# Sphere-chunk size along the sublane axis.
+CHUNK = 128
+
+# P-matrix row indices.
+_CX, _CY, _CZ, _R, _R2, _AR, _AG, _AB, _FUZZ, _IOR, _MAT, _ACTIVE = range(12)
+P_ROWS = 16  # padded to a multiple of 8 sublanes
+
+# Camera scalar vector layout (SMEM).
+# [0:3] center, [3:6] pixel00, [6:9] delta_u, [9:12] delta_v,
+# [12:15] defocus_disk_u, [15:18] defocus_disk_v, [18] defocus_angle,
+# [19] image_width (as float), [20] seed-as-float unused, rest pad.
+CAM_LEN = 24
+
+
+def pack_scene(scene: Scene) -> jnp.ndarray:
+    """Scene SoA -> [16, N] parameter matrix (see module docstring)."""
+    n = scene.center.shape[0]
+    if n % CHUNK != 0:
+        raise ValueError(f"scene slots ({n}) must be a multiple of {CHUNK}")
+    rows = jnp.zeros((P_ROWS, n), jnp.float32)
+    rows = rows.at[_CX].set(scene.center[:, 0])
+    rows = rows.at[_CY].set(scene.center[:, 1])
+    rows = rows.at[_CZ].set(scene.center[:, 2])
+    rows = rows.at[_R].set(scene.radius)
+    rows = rows.at[_R2].set(scene.radius * scene.radius)
+    rows = rows.at[_AR].set(scene.albedo[:, 0])
+    rows = rows.at[_AG].set(scene.albedo[:, 1])
+    rows = rows.at[_AB].set(scene.albedo[:, 2])
+    rows = rows.at[_FUZZ].set(scene.fuzz)
+    rows = rows.at[_IOR].set(scene.ior)
+    rows = rows.at[_MAT].set(scene.mat_type.astype(jnp.float32))
+    rows = rows.at[_ACTIVE].set(scene.active.astype(jnp.float32))
+    return rows
+
+
+def pack_camera(cam: Camera) -> np.ndarray:
+    v = np.zeros(CAM_LEN, np.float32)
+    v[0:3] = np.asarray(cam.center)
+    v[3:6] = np.asarray(cam.pixel00_loc)
+    v[6:9] = np.asarray(cam.pixel_delta_u)
+    v[9:12] = np.asarray(cam.pixel_delta_v)
+    v[12:15] = np.asarray(cam.defocus_disk_u)
+    v[15:18] = np.asarray(cam.defocus_disk_v)
+    v[18] = float(cam.defocus_angle)
+    v[19] = float(cam.image_width)
+    return v
+
+
+# ---------------------------------------------------------------------------
+# In-kernel RNG: counter-based PCG hash (O'Neill's pcg_hash, the standard
+# GPU path-tracer RNG). Pure uint32 VPU arithmetic — identical results
+# compiled on TPU and in the CPU interpreter, no hardware-PRNG state.
+# This replaces the reference's per-pixel curand streams
+# (reference: src/gpu/camera.h:186-187) with streams keyed by the GLOBAL
+# (pixel, sample, bounce, draw) tuple, like ops/sampling.py's threefry
+# streams (different generator, same counter-based design).
+# ---------------------------------------------------------------------------
+
+_GOLDEN = np.uint32(0x9E3779B9)
+
+
+def _pcg(x):
+    """pcg_hash: uint32 -> well-mixed uint32."""
+    state = x * np.uint32(747796405) + np.uint32(2891336453)
+    word = ((state >> ((state >> 28) + np.uint32(4))) ^ state) * np.uint32(277803737)
+    return (word >> 22) ^ word
+
+
+def _to_unit_float(bits):
+    """uint32 -> (0, 1) float32 with a 24-bit mantissa (log-safe)."""
+    u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    return u + (0.5 / (1 << 24))
+
+
+def _u01(stream, counter):
+    """One U(0,1) per lane from a per-ray stream [1,T] and a static or
+    traced draw counter."""
+    if isinstance(counter, int):
+        c = np.uint32((counter * 0x9E3779B9) & 0xFFFFFFFF)
+    else:
+        c = counter.astype(jnp.uint32) * _GOLDEN
+    return _to_unit_float(_pcg(stream ^ c))
+
+
+def _unit_vectors(stream, counter):
+    """[3, T] uniform directions on S^2 via Box-Muller Gaussians
+    (distributional equivalent of the reference's rejection sampler,
+    reference: src/gpu/rtweekend.h:51-53; see ops/sampling.py)."""
+    u0 = _u01(stream, counter)
+    u1 = _u01(stream, counter + 1)
+    u2 = _u01(stream, counter + 2)
+    u3 = _u01(stream, counter + 3)
+    r1 = jnp.sqrt(-2.0 * jnp.log(u0))
+    r2 = jnp.sqrt(-2.0 * jnp.log(u2))
+    gx = r1 * jnp.cos(2.0 * math.pi * u1)
+    gy = r1 * jnp.sin(2.0 * math.pi * u1)
+    gz = r2 * jnp.cos(2.0 * math.pi * u3)
+    g = jnp.concatenate([gx, gy, gz], axis=0)  # [3, T]
+    inv = jax.lax.rsqrt(jnp.maximum(jnp.sum(g * g, axis=0, keepdims=True), 1e-12))
+    return g * inv
+
+
+# ---------------------------------------------------------------------------
+# Vector helpers on [3, L] blocks.
+# ---------------------------------------------------------------------------
+
+def _dot3(a, b):
+    return jnp.sum(a * b, axis=0, keepdims=True)  # [1, L]
+
+
+def _normalize3(v):
+    return v * jax.lax.rsqrt(jnp.maximum(_dot3(v, v), 1e-20))
+
+
+# ---------------------------------------------------------------------------
+# The kernel.
+# ---------------------------------------------------------------------------
+
+def _render_kernel(
+    seed_ref,  # SMEM [1] int32  (scalar prefetch)
+    cam_ref,  # SMEM [CAM_LEN] f32 (scalar prefetch)
+    p_ref,  # VMEM [16, N] scene param matrix
+    pt_ref,  # VMEM [N, 16] transposed params
+    out_ref,  # VMEM [4, TILE] output (rgb + pad row)
+    *,
+    tile: int,
+    n_spheres: int,
+    spp: int,
+    max_depth: int,
+):
+    tile_id = pl.program_id(0)
+
+    width = cam_ref[19].astype(jnp.int32)
+    cam_center = jnp.stack(
+        [cam_ref[0], cam_ref[1], cam_ref[2]]
+    ).reshape(3, 1)
+    pixel00 = jnp.stack([cam_ref[3], cam_ref[4], cam_ref[5]]).reshape(3, 1)
+    delta_u = jnp.stack([cam_ref[6], cam_ref[7], cam_ref[8]]).reshape(3, 1)
+    delta_v = jnp.stack([cam_ref[9], cam_ref[10], cam_ref[11]]).reshape(3, 1)
+    disk_u = jnp.stack([cam_ref[12], cam_ref[13], cam_ref[14]]).reshape(3, 1)
+    disk_v = jnp.stack([cam_ref[15], cam_ref[16], cam_ref[17]]).reshape(3, 1)
+    defocus_on = cam_ref[18] > 0.0
+
+    # Global flat pixel index of each lane -> (px, py).
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+    pix = tile_id * tile + lane
+    px = (pix % width).astype(jnp.float32)
+    py = (pix // width).astype(jnp.float32)
+
+    # Per-pixel RNG stream base: global pixel index x seed, like
+    # curand_init(seed, pixel_index, 0) (reference: src/gpu/camera.h:186).
+    h0 = _pcg(pix.astype(jnp.uint32) ^ _pcg(seed_ref[0].astype(jnp.uint32)))
+
+    n_chunks = n_spheres // CHUNK
+
+    def closest_hit(o, d):
+        """Sphere-chunked closest hit.
+
+        Returns (t_best [1,T], params_best [16,T]). params rows follow
+        the P matrix; rows of retired/miss lanes are garbage (masked by
+        the caller via t_best).
+        """
+        a = _dot3(d, d)  # [1, T]
+        inv_a = 1.0 / a
+        o_dot_d = _dot3(o, d)
+        o_sq = _dot3(o, o)
+
+        t_best = jnp.full((1, tile), T_MISS, jnp.float32)
+        params_best = jnp.zeros((P_ROWS, tile), jnp.float32)
+
+        def chunk_body(c, carry):
+            t_best, params_best = carry
+            base = c * CHUNK
+            centers = pt_ref[pl.ds(base, CHUNK), 0:3]  # [128, 3]
+            # MXU: cross terms for all (sphere, ray) pairs in the chunk.
+            d_dot_c = jax.lax.dot_general(
+                centers, d, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [128, T]
+            o_dot_c = jax.lax.dot_general(
+                centers, o, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [128, T]
+            c_sq_m_r2 = (
+                jnp.sum(centers * centers, axis=1, keepdims=True)
+                - pt_ref[pl.ds(base, CHUNK), _R2 : _R2 + 1]
+            )  # [128, 1]
+            active = pt_ref[pl.ds(base, CHUNK), _ACTIVE : _ACTIVE + 1]  # [128,1]
+
+            half_b = o_dot_d - d_dot_c  # [128, T]
+            cc = o_sq - 2.0 * o_dot_c + c_sq_m_r2  # [128, T]
+            disc = half_b * half_b - a * cc
+            has_root = disc > 0.0
+            sqrt_d = jnp.sqrt(jnp.where(has_root, disc, 0.0))
+            root_near = (-half_b - sqrt_d) * inv_a
+            root_far = (-half_b + sqrt_d) * inv_a
+            # Nearest root strictly inside (t_min, t_best) — the
+            # shrinking closest_so_far interval
+            # (reference: src/gpu/hittable_list.h:49-65).
+            near_ok = (root_near > T_MIN_EPS) & (root_near < t_best)
+            t_c = jnp.where(near_ok, root_near, root_far)
+            valid = (
+                has_root
+                & (active > 0.5)
+                & (t_c > T_MIN_EPS)
+                & (t_c < t_best)
+            )
+            t_c = jnp.where(valid, t_c, T_MISS)
+
+            # Chunk winner + one-hot param gather on the MXU.
+            t_min_c = jnp.min(t_c, axis=0, keepdims=True)  # [1, T]
+            improved = t_min_c < t_best  # [1, T]
+            onehot = (t_c <= t_min_c) & valid  # [128, T]
+            params_c = jax.lax.dot_general(
+                p_ref[:, pl.ds(base, CHUNK)],  # [16, 128]
+                onehot.astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [16, T]
+            # Ties (t_c == t_min_c twice) would double-count in the
+            # matmul; renormalize by the one-hot mass to stay exact.
+            mass = jnp.sum(onehot.astype(jnp.float32), axis=0, keepdims=True)
+            params_c = params_c / jnp.maximum(mass, 1.0)
+
+            t_best = jnp.where(improved, t_min_c, t_best)
+            params_best = jnp.where(improved, params_c, params_best)
+            return t_best, params_best
+
+        return jax.lax.fori_loop(
+            0, n_chunks, chunk_body, (t_best, params_best)
+        )
+
+    def scatter(d, n_vec, front_face, params, stream, ctr):
+        """Branchless 3-material scatter on [3,T]/[1,T] blocks
+        (same semantics as ops/materials.scatter_sampled)."""
+        unit_sample = _unit_vectors(stream, ctr)  # [3, T]
+        reflect_u = _u01(stream, ctr + 4)
+
+        unit_in = _normalize3(d)
+        mat = params[_MAT : _MAT + 1]  # [1, T]
+        albedo = params[_AR : _AB + 1]  # [3, T]
+        fuzz = params[_FUZZ : _FUZZ + 1]
+        ior = params[_IOR : _IOR + 1]
+
+        # lambertian (reference: src/gpu/material.h:24-36)
+        lam_dir = n_vec + unit_sample
+        degenerate = _dot3(lam_dir, lam_dir) < 1e-16
+        lam_dir = jnp.where(degenerate, n_vec, lam_dir)
+
+        # metal (reference: src/gpu/material.h:47-59)
+        reflected = unit_in - 2.0 * _dot3(unit_in, n_vec) * n_vec
+        metal_dir = reflected + fuzz * unit_sample
+        metal_ok = _dot3(metal_dir, n_vec) > 0.0
+
+        # dielectric (reference: src/gpu/material.h:70-93)
+        ratio = jnp.where(front_face, 1.0 / ior, ior)
+        cos_theta = jnp.minimum(_dot3(-unit_in, n_vec), 1.0)
+        sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
+        cannot_refract = ratio * sin_theta > 1.0
+        r0 = (1.0 - ratio) / (1.0 + ratio)
+        r0 = r0 * r0
+        one_m_cos = 1.0 - cos_theta
+        schlick = r0 + (1.0 - r0) * one_m_cos ** 5
+        must_reflect = cannot_refract | (schlick > reflect_u)
+        r_perp = ratio * (unit_in + cos_theta * n_vec)
+        k = jnp.maximum(1.0 - _dot3(r_perp, r_perp), 0.0)
+        r_par = -jnp.sqrt(k) * n_vec
+        refracted = r_perp + r_par
+        diel_dir = jnp.where(must_reflect, reflected, refracted)
+
+        is_lam = mat < 0.5
+        is_metal = (mat >= 0.5) & (mat < 1.5)
+        new_dir = jnp.where(
+            is_lam, lam_dir, jnp.where(is_metal, metal_dir, diel_dir)
+        )
+        atten = jnp.where(mat >= 1.5, jnp.ones_like(albedo), albedo)
+        ok = jnp.where(is_metal, metal_ok, jnp.ones_like(metal_ok))
+        return new_dir, atten, ok
+
+    def trace_one_sample(radiance_acc, s):
+        # Per-(pixel, sample) stream.
+        stream = _pcg(h0 ^ (s.astype(jnp.uint32) * _GOLDEN))
+
+        # --- camera ray (reference: src/gpu/camera.h:140-167) ------------
+        jx = _u01(stream, 0) - 0.5
+        jy = _u01(stream, 1) - 0.5
+        sample_pos = (
+            pixel00
+            + (px + jx) * delta_u
+            + (py + jy) * delta_v
+        )  # [3, T]
+        disk_r = jnp.sqrt(_u01(stream, 2))
+        disk_t = (2.0 * math.pi) * _u01(stream, 3)
+        disk_x = disk_r * jnp.cos(disk_t)
+        disk_y = disk_r * jnp.sin(disk_t)
+        disk_origin = cam_center + disk_x * disk_u + disk_y * disk_v
+        o = jnp.where(defocus_on, disk_origin, jnp.broadcast_to(cam_center, (3, tile)))
+        d = sample_pos - o
+
+        atten = jnp.ones((3, tile), jnp.float32)
+        rad = jnp.zeros((3, tile), jnp.float32)
+        alive = jnp.ones((1, tile), jnp.bool_)
+
+        def cond(state):
+            i, _o, _d, _atten, _rad, alive = state
+            return (i < max_depth) & jnp.any(alive)
+
+        def body(state):
+            i, o, d, atten, rad, alive = state
+            t_best, params = closest_hit(o, d)
+            hit = t_best < (T_MISS * 0.5)  # [1, T]
+
+            # miss -> sky, retire (reference: src/gpu/camera.h:118-124)
+            unit_d = _normalize3(d)
+            sky_a = 0.5 * (unit_d[1:2] + 1.0)  # [1, T]
+            sky = jnp.concatenate(
+                [
+                    (1.0 - sky_a) + sky_a * 0.5,
+                    (1.0 - sky_a) + sky_a * 0.7,
+                    (1.0 - sky_a) + sky_a * 1.0,
+                ],
+                axis=0,
+            )  # [3, T]
+            miss = alive & ~hit
+            rad = rad + jnp.where(miss, atten * sky, 0.0)
+
+            # hit geometry
+            center_h = params[_CX : _CZ + 1]  # [3, T]
+            t_safe = jnp.where(hit, t_best, 1.0)
+            p = o + t_safe * d
+            inv_r = 1.0 / jnp.maximum(params[_R : _R + 1], 1e-8)
+            outward = (p - center_h) * inv_r
+            front_face = _dot3(d, outward) < 0.0
+            n_vec = jnp.where(front_face, outward, -outward)
+
+            ctr = np.uint32(8) + i.astype(jnp.uint32) * np.uint32(16)
+            new_dir, mat_atten, ok = scatter(d, n_vec, front_face, params, stream, ctr)
+
+            cont = alive & hit & ok
+            atten = jnp.where(cont, atten * mat_atten, atten)
+            o = jnp.where(cont, p, o)
+            d = jnp.where(cont, new_dir, d)
+            return i + 1, o, d, atten, rad, cont
+
+        _, _, _, _, rad, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), o, d, atten, rad, alive)
+        )
+        return radiance_acc + rad, None
+
+    total = jnp.zeros((3, tile), jnp.float32)
+    total, _ = jax.lax.scan(
+        trace_one_sample, total, jnp.arange(spp, dtype=jnp.int32)
+    )
+    out_ref[0:3, :] = total * (1.0 / spp)
+    out_ref[3:4, :] = jnp.zeros((1, tile), jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_pixels_padded", "tile", "spp", "max_depth", "interpret"),
+)
+def _render_pallas_jit(p_mat, pt_mat, cam_vec, seed, n_pixels_padded, tile, spp, max_depth, interpret):
+    n_spheres = p_mat.shape[1]
+    grid = n_pixels_padded // tile
+    kernel = functools.partial(
+        _render_kernel,
+        tile=tile,
+        n_spheres=n_spheres,
+        spp=spp,
+        max_depth=max_depth,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((P_ROWS, n_spheres), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_spheres, P_ROWS), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((4, tile), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((4, n_pixels_padded), jnp.float32),
+        # TPU-flavored interpreter (emulates pltpu.prng_* on CPU CI).
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(seed, cam_vec, p_mat, pt_mat)
+    return out
+
+
+def render_pallas(
+    scene: Scene,
+    cam: Camera,
+    seed: int = 0,
+    tile: int = DEFAULT_TILE,
+    spp: int | None = None,
+    max_depth: int | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Render the full image with the Pallas TPU kernel -> [H, W, 3].
+
+    `interpret=True` runs the kernel in the Pallas interpreter (CPU CI).
+    """
+    spp = cam.samples_per_pixel if spp is None else spp
+    max_depth = cam.max_depth if max_depth is None else max_depth
+    w, h = cam.image_width, cam.image_height
+    n_pixels = w * h
+    padded = -(-n_pixels // tile) * tile
+
+    p_mat = pack_scene(scene)
+    pt_mat = p_mat.T
+    cam_vec = jnp.asarray(pack_camera(cam))
+    seed_arr = jnp.asarray([seed], jnp.int32)
+
+    out = _render_pallas_jit(
+        p_mat, pt_mat, cam_vec, seed_arr, padded, tile, spp, max_depth, interpret
+    )
+    img = out[0:3, :n_pixels]  # [3, n_pixels]
+    return jnp.transpose(img).reshape(h, w, 3)
