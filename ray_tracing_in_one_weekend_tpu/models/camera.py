@@ -61,6 +61,7 @@ def make_camera(
     vup=(0.0, 1.0, 0.0),
     defocus_angle_degrees: float = 0.6,
     focus_dist: float = 10.0,
+    aperture: float | None = None,
     dtype=jnp.float32,
 ) -> Camera:
     """Derive the viewport constants exactly as the reference does
@@ -94,7 +95,20 @@ def make_camera(
     viewport_upper_left = lookfrom - focus_dist * w - viewport_u / 2.0 - viewport_v / 2.0
     pixel00_loc = viewport_upper_left + 0.5 * (pixel_delta_u + pixel_delta_v)
 
-    defocus_radius = focus_dist * math.tan(math.radians(defocus_angle_degrees / 2.0))
+    # The GPU tree parameterizes the lens by defocus ANGLE
+    # (reference: src/gpu/camera.h:69,105-109); the CPU tree by APERTURE
+    # (lens_radius = aperture/2, reference: src/cpu/camera.h:20-26).
+    # `aperture`, when given, takes precedence and reproduces the CPU
+    # parameterization exactly.
+    if aperture is not None:
+        defocus_radius = aperture / 2.0
+        defocus_angle_degrees = 2.0 * math.degrees(
+            math.atan(defocus_radius / focus_dist)
+        )
+    else:
+        defocus_radius = focus_dist * math.tan(
+            math.radians(defocus_angle_degrees / 2.0)
+        )
     defocus_disk_u = u * defocus_radius
     defocus_disk_v = v * defocus_radius
 

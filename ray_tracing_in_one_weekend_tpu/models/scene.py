@@ -138,6 +138,92 @@ def three_sphere_scene(pad_to: int | None = None) -> Scene:
     )
 
 
+def cover_scene_reference(pad_to: int = COVER_SCENE_SLOTS) -> Scene:
+    """The EXACT cover scene the reference CPU build renders.
+
+    Replays `random_scene()` (reference: src/cpu/main.cc:32-76) draw for
+    draw against a bit-exact std::mt19937(5489) +
+    uniform_real_distribution<double> replica
+    (utils/reference_rng.py) — same sphere centers, albedos, fuzz and
+    material assignment as the committed golden image
+    (tests/goldens/ref_cpu_cover_1200x800_500spp.png). Sphere order in
+    the arrays matches the reference's world list: ground, accepted grid
+    spheres, three heroes.
+    """
+    from ray_tracing_in_one_weekend_tpu.utils.reference_rng import ReferenceRandom
+
+    rng = ReferenceRandom()
+    centers = [[0.0, -1000.0, 0.0]]
+    radii = [1000.0]
+    mats = [LAMBERTIAN]
+    albedos = [[0.5, 0.5, 0.5]]
+    fuzzes = [0.0]
+    iors = [1.5]
+
+    # NOTE on draw order: C++ argument evaluation order is unspecified,
+    # and g++ (which built the golden) evaluates call arguments
+    # RIGHT-TO-LEFT. So in `point3(a + 0.9*rd(), 0.2, b + 0.9*rd())` the
+    # z-offset is drawn BEFORE the x-offset, and `vec3::random()` draws
+    # its components z,y,x. Verified empirically against a structurally
+    # identical g++ program; a naive left-to-right replay produces a
+    # visibly different sphere layout.
+    def rand_vec3_rtl(lo=0.0, hi=1.0):
+        z = rng.random_double(lo, hi)
+        y = rng.random_double(lo, hi)
+        x = rng.random_double(lo, hi)
+        return (x, y, z)
+
+    for a in range(-11, 11):
+        for b in range(-11, 11):
+            choose_mat = rng.random_double()
+            cz = b + 0.9 * rng.random_double()  # drawn first (see NOTE)
+            cx = a + 0.9 * rng.random_double()
+            dx, dz = cx - 4.0, cz
+            if (dx * dx + dz * dz) ** 0.5 > 0.9:
+                if choose_mat < 0.8:
+                    a1 = rand_vec3_rtl()
+                    a2 = rand_vec3_rtl()
+                    albedo = [a1[0] * a2[0], a1[1] * a2[1], a1[2] * a2[2]]
+                    mats.append(LAMBERTIAN)
+                    albedos.append(albedo)
+                    fuzzes.append(0.0)
+                elif choose_mat < 0.95:
+                    albedo = list(rand_vec3_rtl(0.5, 1.0))
+                    fuzz = rng.random_double(0.0, 0.5)
+                    mats.append(METAL)
+                    albedos.append(albedo)
+                    fuzzes.append(fuzz)
+                else:
+                    mats.append(DIELECTRIC)
+                    albedos.append([1.0, 1.0, 1.0])
+                    fuzzes.append(0.0)
+                centers.append([cx, 0.2, cz])
+                radii.append(0.2)
+                iors.append(1.5)
+
+    for c, r, m, alb, fz in (
+        ([0.0, 1.0, 0.0], 1.0, DIELECTRIC, [1.0, 1.0, 1.0], 0.0),
+        ([-4.0, 1.0, 0.0], 1.0, LAMBERTIAN, [0.4, 0.2, 0.1], 0.0),
+        ([4.0, 1.0, 0.0], 1.0, METAL, [0.7, 0.6, 0.5], 0.0),
+    ):
+        centers.append(c)
+        radii.append(r)
+        mats.append(m)
+        albedos.append(alb)
+        fuzzes.append(fz)
+        iors.append(1.5)
+
+    return from_spheres(
+        centers=centers,
+        radii=radii,
+        mat_types=mats,
+        albedos=albedos,
+        fuzzes=fuzzes,
+        iors=iors,
+        pad_to=pad_to,
+    )
+
+
 def cover_scene(key: jax.Array | int = 0, pad_to: int = COVER_SCENE_SLOTS) -> Scene:
     """The 488-sphere "cover scene" (reference: src/gpu/main.cu:18-75,
     src/cpu/main.cc:32-76), generated with counter-based keys.

@@ -1,0 +1,180 @@
+"""Command-line renderer.
+
+The reference has no flags at all — every parameter is a compile-time
+constant and the CLI contract is `./main > out.ppm` with logs on stderr
+(reference: src/cpu/main.cc:78-133, script/windows/rt-utility.psm1:33-47).
+This CLI exposes exactly the reference's parameter set (SURVEY.md §5
+"Config / flag system") and keeps the stdout=image / stderr=logs split:
+
+    python -m ray_tracing_in_one_weekend_tpu > out.ppm
+    python -m ray_tracing_in_one_weekend_tpu --preset gpu --backend pallas \
+        --mesh 4,2 --png out.png > out.ppm
+
+Timing and Mrays/s are reported the way the reference reports them:
+wall-clock around the render only (reference: src/gpu/main.cu:128-139).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+import time
+
+from ray_tracing_in_one_weekend_tpu.utils.config import (
+    PRESETS,
+    RenderConfig,
+    make_camera_from_config,
+    make_scene_from_config,
+)
+
+
+def _log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="ray_tracing_in_one_weekend_tpu",
+        description="TPU-native differentiable path tracer (PPM to stdout).",
+    )
+    d = RenderConfig()
+    p.add_argument("--preset", choices=sorted(PRESETS), default=None,
+                   help="start from a reference workload preset")
+    p.add_argument("--width", type=int, default=None, help=f"image width (default {d.image_width})")
+    p.add_argument("--aspect", type=float, default=None, help="aspect ratio w/h")
+    p.add_argument("--spp", type=int, default=None, help="samples per pixel")
+    p.add_argument("--max-depth", type=int, default=None, help="bounce limit")
+    p.add_argument("--vfov", type=float, default=None, help="vertical fov, degrees")
+    p.add_argument("--lookfrom", type=float, nargs=3, default=None, metavar=("X", "Y", "Z"))
+    p.add_argument("--lookat", type=float, nargs=3, default=None, metavar=("X", "Y", "Z"))
+    p.add_argument("--vup", type=float, nargs=3, default=None, metavar=("X", "Y", "Z"))
+    p.add_argument("--defocus-angle", type=float, default=None, help="defocus cone angle, degrees (0 = pinhole)")
+    p.add_argument("--focus-dist", type=float, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--scene", choices=("cover", "three", "single"), default=None)
+    p.add_argument("--chunk", type=int, default=None, help="pixels per chunk (jnp backend)")
+    p.add_argument("--tile", type=int, default=2048, help="pixels per tile (pallas backend, multiple of 128)")
+    p.add_argument("--backend", choices=("auto", "jnp", "pallas"), default=None)
+    p.add_argument("--mesh", default=None, metavar="P[,S]",
+                   help="device mesh: pixel shards, optional sample shards (jnp backend)")
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() for multi-host runs")
+    p.add_argument("--out", default="-", help="output PPM path ('-' = stdout)")
+    p.add_argument("--png", default=None, help="also write a PNG here")
+    p.add_argument("--no-output", action="store_true", help="render + report timing only")
+    return p
+
+
+def config_from_args(args) -> RenderConfig:
+    config = PRESETS[args.preset] if args.preset else RenderConfig()
+    updates = {}
+    mapping = {
+        "width": "image_width",
+        "aspect": "aspect_ratio",
+        "spp": "samples_per_pixel",
+        "max_depth": "max_depth",
+        "vfov": "vfov_degrees",
+        "lookfrom": "lookfrom",
+        "lookat": "lookat",
+        "vup": "vup",
+        "defocus_angle": "defocus_angle_degrees",
+        "focus_dist": "focus_dist",
+        "seed": "seed",
+        "scene": "scene",
+        "chunk": "chunk_pixels",
+        "backend": "backend",
+    }
+    for arg_name, field in mapping.items():
+        v = getattr(args, arg_name)
+        if v is not None:
+            updates[field] = tuple(v) if isinstance(v, list) else v
+    if args.mesh is not None:
+        updates["mesh_shape"] = tuple(int(x) for x in args.mesh.split(","))
+    return dataclasses.replace(config, **updates)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.multihost:
+        import jax
+
+        jax.distributed.initialize()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    config = config_from_args(args)
+    scene = make_scene_from_config(config)
+    cam = make_camera_from_config(config)
+
+    backend = config.backend
+    if backend == "auto":
+        backend = "pallas" if jax.devices()[0].platform == "tpu" else "jnp"
+
+    _log(f"renderer: {config.image_width}x{config.image_height} "
+         f"spp={config.samples_per_pixel} depth={config.max_depth} "
+         f"scene={config.scene} seed={config.seed}")
+    _log(f"backend: {backend} on {jax.devices()[0].platform} "
+         f"({len(jax.devices())} device(s)) mesh={config.mesh_shape or '1-chip'}")
+
+    def run():
+        if backend == "pallas":
+            from ray_tracing_in_one_weekend_tpu.ops.pallas_render import render_pallas
+
+            interpret = jax.devices()[0].platform != "tpu"
+            return render_pallas(
+                scene, cam, seed=config.seed, tile=args.tile, interpret=interpret
+            )
+        if config.mesh_shape:
+            from ray_tracing_in_one_weekend_tpu.parallel import dist
+
+            mesh = dist.make_mesh(config.mesh_shape)
+            return dist.render_image_distributed(
+                scene, cam, config.seed, mesh=mesh, chunk_size=config.chunk_pixels
+            )
+        from ray_tracing_in_one_weekend_tpu.ops.render import render_image
+
+        return render_image(scene, cam, config.seed, chunk_size=config.chunk_pixels)
+
+    # Warmup/compile outside the timed bracket, like the reference times
+    # only the render (reference: src/gpu/main.cu:128-139). The scalar
+    # fetch is the completion barrier (remote TPU platforms dispatch
+    # asynchronously).
+    t0 = time.perf_counter()
+    img = run()
+    float(jnp.sum(img))
+    _log(f"compile+first render: {time.perf_counter() - t0:.2f}s")
+
+    t0 = time.perf_counter()
+    img = run()
+    float(jnp.sum(img))
+    render_s = time.perf_counter() - t0
+    mrays = config.rays_per_frame / render_s / 1e6
+    _log(f"render: {render_s:.3f}s  ({mrays:.2f} Mrays/s)")
+
+    if args.no_output:
+        return 0
+
+    from ray_tracing_in_one_weekend_tpu.ops.image import to_uint8
+    from ray_tracing_in_one_weekend_tpu.utils import ppm
+
+    u8 = np.asarray(to_uint8(img))
+    if args.png:
+        from PIL import Image
+
+        Image.fromarray(u8).save(args.png)
+        _log(f"wrote {args.png}")
+    if args.out == "-":
+        ppm.write_ppm(u8, sys.stdout.buffer)
+        sys.stdout.buffer.flush()
+    else:
+        ppm.write_ppm(u8, args.out)
+        _log(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
