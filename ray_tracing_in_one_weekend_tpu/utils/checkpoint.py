@@ -1,0 +1,95 @@
+"""Progressive rendering with checkpoint/resume.
+
+The reference has no checkpointing; its closest analogue is the manual
+workflow where partial renders at different sample counts were merged
+offline (reference: gallery/gpu/image11-source-images/
+image11-10percent.png ... image11-merge-all.png). This module automates
+that as first-class state: the framebuffer accumulates per-sample sums
+plus a sample counter, and is serializable at any point.
+
+Because every sample draws from a stream keyed by the GLOBAL
+(pixel, sample) index (ops/render.py `sample_offset`), resuming from a
+checkpoint and rendering samples [k, k+n) produces the BIT-IDENTICAL
+image a single k+n-sample run would have produced — checkpointing is
+free of statistical cost, unlike the reference's ad-hoc seed merging.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ray_tracing_in_one_weekend_tpu.models.camera import Camera
+from ray_tracing_in_one_weekend_tpu.models.scene import Scene
+from ray_tracing_in_one_weekend_tpu.ops.render import DEFAULT_CHUNK, render_flat
+
+
+@struct.dataclass
+class RenderState:
+    """Accumulated render progress (a checkpointable pytree)."""
+
+    accum: jnp.ndarray  # [H, W, 3] sum of per-sample radiance
+    spp_done: jnp.ndarray  # [] int32 samples accumulated so far
+
+    @property
+    def image(self) -> jnp.ndarray:
+        """Current linear framebuffer estimate [H, W, 3]."""
+        n = jnp.maximum(self.spp_done, 1)
+        return self.accum / n.astype(jnp.float32)
+
+
+def new_state(cam: Camera) -> RenderState:
+    return RenderState(
+        accum=jnp.zeros((cam.image_height, cam.image_width, 3), jnp.float32),
+        spp_done=jnp.asarray(0, jnp.int32),
+    )
+
+
+def accumulate(
+    state: RenderState,
+    scene: Scene,
+    cam: Camera,
+    base_key: jax.Array | int,
+    spp_batch: int,
+    chunk_size: int = DEFAULT_CHUNK,
+) -> RenderState:
+    """Render the next `spp_batch` samples and fold them into `state`.
+
+    Sample indices continue from `state.spp_done`, so any batching
+    schedule yields the same final image as one monolithic run.
+    """
+    if isinstance(base_key, int):
+        base_key = jax.random.key(base_key)
+    w, h = cam.image_width, cam.image_height
+    # Continue the global sample stream where the checkpoint stopped.
+    colors = render_flat(
+        scene,
+        cam,
+        jnp.arange(w * h),
+        base_key,
+        chunk_size=chunk_size,
+        spp=spp_batch,
+        sample_offset=state.spp_done,
+    ).reshape(h, w, 3)
+    return RenderState(
+        accum=state.accum + colors * spp_batch,
+        spp_done=state.spp_done + spp_batch,
+    )
+
+
+def save(state: RenderState, path: str) -> None:
+    np.savez_compressed(
+        path,
+        accum=np.asarray(state.accum),
+        spp_done=np.asarray(state.spp_done),
+    )
+
+
+def load(path: str) -> RenderState:
+    with np.load(path) as z:
+        return RenderState(
+            accum=jnp.asarray(z["accum"]),
+            spp_done=jnp.asarray(z["spp_done"], jnp.int32),
+        )
