@@ -147,21 +147,25 @@ def get_rays(
     Returns (origins [R, 3], directions [R, 3]); directions are NOT
     normalized, matching the reference (direction = sample - origin).
     """
-    k_jitter = sampling.fold_b(keys, 0)
-    k_disk = sampling.fold_b(keys, 1)
-
-    jitter = sampling.uniform2_b(k_jitter) - 0.5
+    # One batched sweep: 4 uniforms per ray (2 jitter, 2 lens disk).
+    # Domain 1<<20 keeps camera draws disjoint from the integrator's
+    # per-bounce domains 0..max_depth.
+    u4 = sampling.uniforms_b(keys, 4, domain=1 << 20)
+    jitter = u4[..., 0:2] - 0.5
     pixel_sample = (
         cam.pixel00_loc
         + (px.astype(jnp.float32) + jitter[..., 0])[..., None] * cam.pixel_delta_u
         + (py.astype(jnp.float32) + jitter[..., 1])[..., None] * cam.pixel_delta_v
     )
 
-    disk = sampling.in_unit_disk_b(k_disk)
+    # Polar unit-disk sample (identical law to the reference's rejection
+    # loop, reference: src/gpu/rtweekend.h:61-69).
+    disk_r = jnp.sqrt(u4[..., 2])
+    disk_theta = (2.0 * jnp.pi) * u4[..., 3]
     disk_origin = (
         cam.center
-        + disk[..., 0:1] * cam.defocus_disk_u
-        + disk[..., 1:2] * cam.defocus_disk_v
+        + (disk_r * jnp.cos(disk_theta))[..., None] * cam.defocus_disk_u
+        + (disk_r * jnp.sin(disk_theta))[..., None] * cam.defocus_disk_v
     )
     origin = jnp.where(cam.defocus_angle > 0.0, disk_origin, cam.center)
 

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ray_tracing_in_one_weekend_tpu.models.scene import Scene
+from ray_tracing_in_one_weekend_tpu.ops import sampling
 from ray_tracing_in_one_weekend_tpu.ops import vecmath as vm
 from ray_tracing_in_one_weekend_tpu.ops.intersect import hit_scene
 from ray_tracing_in_one_weekend_tpu.ops.materials import scatter_sampled
@@ -77,23 +78,6 @@ def trace_rays(
     attenuation = jnp.ones((n_rays, 3), origin.dtype)
     alive = jnp.ones((n_rays,), bool)
 
-    # Bulk-draw the whole bounce budget's randomness up front: two
-    # batched counter-mode sweeps ([R, D, 3] Gaussians -> unit vectors,
-    # [R, D] uniforms) instead of 2 scalar threefry draws per ray per
-    # bounce. Same keys, so still chunk/shard-layout invariant.
-    gauss = jax.vmap(
-        lambda k: jax.random.normal(
-            jax.random.fold_in(k, 0), (max_depth, 3), dtype=jnp.float32
-        )
-    )(keys)
-    sq = jnp.sum(gauss * gauss, axis=-1, keepdims=True)
-    unit_samples = gauss * jax.lax.rsqrt(jnp.maximum(sq, 1e-12))  # [R, D, 3]
-    reflect_us = jax.vmap(
-        lambda k: jax.random.uniform(
-            jax.random.fold_in(k, 1), (max_depth,), dtype=jnp.float32
-        )
-    )(keys)  # [R, D]
-
     def bounce(i, carry):
         o, d, atten, rad, live = carry
 
@@ -104,12 +88,13 @@ def trace_rays(
         miss = live & ~rec.hit
         rad = rad + jnp.where(miss[:, None], atten * sky_color(d), 0.0)
 
-        unit_sample = jax.lax.dynamic_index_in_dim(
-            unit_samples, i, axis=1, keepdims=False
-        )
-        reflect_u = jax.lax.dynamic_index_in_dim(
-            reflect_us, i, axis=1, keepdims=False
-        )
+        # One batched counter-mode sweep per bounce: 5 uniforms per ray
+        # (4 -> Box-Muller unit vector, 1 -> dielectric reflect choice).
+        # Drawing per bounce (not the whole depth-50 budget up front)
+        # means the early-exit loop only pays for bounces that happen.
+        u = sampling.uniforms_b(keys, 5, domain=i)  # [R, 5]
+        unit_sample = sampling.unit_vector_from_uniforms(u[:, 0:4])
+        reflect_u = u[:, 4]
         new_dir, mat_atten, scat_ok = scatter_sampled(rec, d, unit_sample, reflect_u)
 
         cont = live & rec.hit & scat_ok  # continues bouncing

@@ -35,6 +35,7 @@ NaNs.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -124,13 +125,43 @@ def hit_scene(
     (reference: src/gpu/hittable_list.h:49-65)."""
     ts = sphere_hit_ts(scene, origin, direction, t_min, t_max)  # [R, N]
 
-    sphere_index = jnp.argmin(ts, axis=-1).astype(jnp.int32)  # [R]
-    t = jnp.take_along_axis(ts, sphere_index[:, None], axis=-1)[:, 0]  # [R]
-    hit = t < T_MISS * 0.5
+    # Winner selection via ONE-HOT MATMUL instead of argmin + per-ray
+    # gathers: TPU has no fast per-lane gather — XLA lowers `take` with
+    # per-ray indices to slow dynamic-gather loops, while a [R,N] @ [N,K]
+    # product of the one-hot mask against the packed parameter matrix
+    # rides the MXU (same trick as the Pallas kernel). Gradients flow to
+    # the winning sphere's parameters through the matmul exactly as they
+    # would through a gather (one-hot rows are constants of the backward
+    # pass, like the gather indices were).
+    t_min_r = jnp.min(ts, axis=-1, keepdims=True)  # [R, 1]
+    hit = t_min_r[:, 0] < T_MISS * 0.5
+    onehot = (ts <= t_min_r).astype(ts.dtype)  # [R, N]
+    # Ties double-count in the sum; renormalize (measure-zero for real
+    # geometry, but miss rows are ALL-tied at T_MISS and need it).
+    onehot = onehot / jnp.maximum(
+        jnp.sum(onehot, axis=-1, keepdims=True), 1.0
+    )
+    onehot = jax.lax.stop_gradient(onehot)
 
-    # Gather the winning sphere's parameters (grad flows to them).
-    center_h = jnp.take(scene.center, sphere_index, axis=0)  # [R, 3]
-    radius_h = jnp.take(scene.radius, sphere_index, axis=0)  # [R]
+    # Packed per-sphere parameter matrix [N, 10]:
+    # cx cy cz r albedo_rgb fuzz ior mat_type
+    params = jnp.concatenate(
+        [
+            scene.center,
+            scene.radius[:, None],
+            scene.albedo,
+            scene.fuzz[:, None],
+            scene.ior[:, None],
+            scene.mat_type.astype(ts.dtype)[:, None],
+        ],
+        axis=-1,
+    )
+    hit_params = onehot @ params  # [R, 10] — MXU
+    t = jnp.sum(onehot * ts, axis=-1)  # selected t (grad flows into ts)
+    sphere_index = jnp.argmax(onehot, axis=-1).astype(jnp.int32)
+
+    center_h = hit_params[:, 0:3]
+    radius_h = hit_params[:, 3]
 
     # Miss lanes get t := 1 so the downstream geometry stays finite and
     # their (masked-out) gradients are zero.
@@ -150,8 +181,8 @@ def hit_scene(
         normal=normal,
         front_face=front_face,
         sphere_index=sphere_index,
-        albedo=jnp.take(scene.albedo, sphere_index, axis=0),
-        fuzz=jnp.take(scene.fuzz, sphere_index, axis=0),
-        ior=jnp.take(scene.ior, sphere_index, axis=0),
-        mat_type=jnp.take(scene.mat_type, sphere_index, axis=0),
+        albedo=hit_params[:, 4:7],
+        fuzz=hit_params[:, 7],
+        ior=hit_params[:, 8],
+        mat_type=jnp.round(hit_params[:, 9]).astype(jnp.int32),
     )

@@ -130,3 +130,31 @@ def unit_vector_b(keys: jax.Array) -> jnp.ndarray:
 def in_unit_disk_b(keys: jax.Array) -> jnp.ndarray:
     """One uniform unit-disk point per key: [R] keys -> [R, 3] (z = 0)."""
     return jax.vmap(random_in_unit_disk)(keys)
+
+
+def uniforms_b(keys: jax.Array, n: int, domain: int = 0) -> jnp.ndarray:
+    """n U[0,1) per key in one batched counter-mode sweep:
+    [R] keys -> [R, n]. `domain` separates draw sites sharing a key
+    (camera rays vs bounce draws)."""
+    return jax.vmap(
+        lambda k: jax.random.uniform(
+            jax.random.fold_in(k, domain), (n,), dtype=jnp.float32
+        )
+    )(keys)
+
+
+def unit_vector_from_uniforms(u4: jnp.ndarray) -> jnp.ndarray:
+    """[..., 4] uniforms -> [..., 3] uniform directions on S^2 via
+    Box-Muller Gaussians + normalize (same construction as the Pallas
+    kernel, distributionally equal to `random_unit_vector`)."""
+    u0 = jnp.maximum(u4[..., 0], 1e-12)
+    u2 = jnp.maximum(u4[..., 2], 1e-12)
+    r1 = jnp.sqrt(-2.0 * jnp.log(u0))
+    r2 = jnp.sqrt(-2.0 * jnp.log(u2))
+    t1 = (2.0 * jnp.pi) * u4[..., 1]
+    t2 = (2.0 * jnp.pi) * u4[..., 3]
+    g = jnp.stack(
+        [r1 * jnp.cos(t1), r1 * jnp.sin(t1), r2 * jnp.cos(t2)], axis=-1
+    )
+    sq = jnp.sum(g * g, axis=-1, keepdims=True)
+    return g * jax.lax.rsqrt(jnp.maximum(sq, 1e-12))

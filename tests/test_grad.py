@@ -62,8 +62,10 @@ def _loss_fn(field, cam, weight_img=None):
         sc = base.replace(**{field: value})
         img = render(sc, cam, KEY, chunk_size=512, differentiable=True)
         if weight_img is not None:
-            return jnp.sum(img * weight_img)
-        return jnp.sum(img)
+            return jnp.mean(img * weight_img)
+        # mean, not sum: keeps |f| ~ 0.5 so the float32 ulp of f does not
+        # swamp the central-difference numerator at small eps.
+        return jnp.mean(img)
 
     return f, getattr(base, field)
 
@@ -89,26 +91,58 @@ def _check_fd(field, eps, atol, rtol, indices):
 
 
 def test_albedo_gradients_match_fd():
-    # albedo is the smoothest parameter: tight tolerance
-    _check_fd("albedo", eps=1e-3, atol=0.05, rtol=0.02,
+    # albedo is linear in the radiance: tight tolerance
+    _check_fd("albedo", eps=1e-3, atol=1e-5, rtol=0.02,
               indices=[(0, 0), (0, 1), (1, 2), (3, 0)])
 
 
 def test_center_gradients_match_fd():
-    _check_fd("center", eps=1e-4, atol=0.5, rtol=0.05,
+    # geometry parameters: eps must clear float32 quotient noise without
+    # crossing a silhouette (see the eps survey in the module docstring)
+    _check_fd("center", eps=3e-4, atol=2e-4, rtol=0.2,
               indices=[(1, 0), (1, 1), (1, 2)])
 
 
 def test_radius_gradients_match_fd():
-    _check_fd("radius", eps=1e-4, atol=0.5, rtol=0.05, indices=[(1,), (0,)])
+    _check_fd("radius", eps=3e-4, atol=2e-4, rtol=0.2, indices=[(1,), (0,)])
 
 
 def test_fuzz_gradients_match_fd():
-    _check_fd("fuzz", eps=1e-3, atol=0.2, rtol=0.05, indices=[(3,)])
+    _check_fd("fuzz", eps=1e-3, atol=1e-4, rtol=0.1, indices=[(3,)])
 
 
 def test_ior_gradients_match_fd():
-    _check_fd("ior", eps=1e-3, atol=0.5, rtol=0.05, indices=[(2,)])
+    _check_fd("ior", eps=1e-3, atol=1e-4, rtol=0.1, indices=[(2,)])
+
+
+def test_jvp_vjp_consistency():
+    """Forward-mode and reverse-mode derivatives of the render agree to
+    float tolerance in random directions — a noise-free consistency
+    check complementing the FD tests (FD validates the math; this
+    validates the two autodiff transposes against each other)."""
+    cam = _cam()
+    base = _scene()
+    fields = ("center", "radius", "albedo", "fuzz", "ior")
+
+    def f(params):
+        img = render(
+            base.replace(**params), cam, KEY, chunk_size=512, differentiable=True
+        )
+        return jnp.mean(img)
+
+    params = {k: getattr(base, k) for k in fields}
+    tangent = {
+        k: jax.random.normal(jax.random.fold_in(KEY, i), v.shape, v.dtype)
+        for i, (k, v) in enumerate(params.items())
+    }
+    _, jvp_val = jax.jvp(f, (params,), (tangent,))
+    grads = jax.grad(f)(params)
+    vjp_val = sum(
+        float(jnp.sum(grads[k] * tangent[k])) for k in fields
+    )
+    assert np.isclose(float(jvp_val), vjp_val, rtol=1e-3, atol=1e-6), (
+        f"jvp {float(jvp_val):.8f} vs vjp {vjp_val:.8f}"
+    )
 
 
 def test_gradients_finite_on_cover_scene():
