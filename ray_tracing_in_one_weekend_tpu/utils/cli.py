@@ -63,6 +63,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", default="-", help="output PPM path ('-' = stdout)")
     p.add_argument("--png", default=None, help="also write a PNG here")
     p.add_argument("--no-output", action="store_true", help="render + report timing only")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the timed render into DIR")
     return p
 
 
@@ -148,10 +150,20 @@ def main(argv=None) -> int:
     float(jnp.sum(img))
     _log(f"compile+first render: {time.perf_counter() - t0:.2f}s")
 
-    t0 = time.perf_counter()
-    img = run()
-    float(jnp.sum(img))
-    render_s = time.perf_counter() - t0
+    if args.profile:
+        # Trace/profiling hook (SURVEY.md §5: the reference only has
+        # wall-clock timers; this is the TPU-native deep view).
+        with jax.profiler.trace(args.profile):
+            t0 = time.perf_counter()
+            img = run()
+            float(jnp.sum(img))
+            render_s = time.perf_counter() - t0
+        _log(f"profile trace written to {args.profile}")
+    else:
+        t0 = time.perf_counter()
+        img = run()
+        float(jnp.sum(img))
+        render_s = time.perf_counter() - t0
     mrays = config.rays_per_frame / render_s / 1e6
     _log(f"render: {render_s:.3f}s  ({mrays:.2f} Mrays/s)")
 
