@@ -180,7 +180,7 @@ def _normalize3(v):
 # ---------------------------------------------------------------------------
 
 def _render_kernel(
-    seed_ref,  # SMEM [1] int32  (scalar prefetch)
+    seed_ref,  # SMEM [4] int32  (scalar prefetch: seed, pixel_offset, sample_offset, pad)
     cam_ref,  # SMEM [CAM_LEN] f32 (scalar prefetch)
     p_ref,  # VMEM [16, N] scene param matrix
     pt_ref,  # VMEM [N, 16] transposed params
@@ -204,9 +204,11 @@ def _render_kernel(
     disk_v = jnp.stack([cam_ref[15], cam_ref[16], cam_ref[17]]).reshape(3, 1)
     defocus_on = cam_ref[18] > 0.0
 
-    # Global flat pixel index of each lane -> (px, py).
+    # Global flat pixel index of each lane -> (px, py). pixel_offset is
+    # the device's slab start under pixel sharding, so streams and
+    # geometry stay keyed by the GLOBAL index on any mesh.
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
-    pix = tile_id * tile + lane
+    pix = seed_ref[1] + tile_id * tile + lane
     px = (pix % width).astype(jnp.float32)
     py = (pix // width).astype(jnp.float32)
 
@@ -341,8 +343,9 @@ def _render_kernel(
         return new_dir, atten, ok
 
     def trace_one_sample(radiance_acc, s):
-        # Per-(pixel, sample) stream.
-        stream = _pcg(h0 ^ (s.astype(jnp.uint32) * _GOLDEN))
+        # Per-(pixel, GLOBAL sample) stream (sample_offset = spp-shard base).
+        s_global = s + seed_ref[2]
+        stream = _pcg(h0 ^ (s_global.astype(jnp.uint32) * _GOLDEN))
 
         # --- camera ray (reference: src/gpu/camera.h:140-167) ------------
         jx = _u01(stream, 0) - 0.5
@@ -418,11 +421,8 @@ def _render_kernel(
     out_ref[3:4, :] = jnp.zeros((1, tile), jnp.float32)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_pixels_padded", "tile", "spp", "max_depth", "interpret"),
-)
-def _render_pallas_jit(p_mat, pt_mat, cam_vec, seed, n_pixels_padded, tile, spp, max_depth, interpret):
+def _render_pallas_core(p_mat, pt_mat, cam_vec, scalars, n_pixels_padded, tile, spp, max_depth, interpret):
+    """pallas_call wrapper; `scalars` = [seed, pixel_offset, sample_offset, 0] int32."""
     n_spheres = p_mat.shape[1]
     grid = n_pixels_padded // tile
     kernel = functools.partial(
@@ -444,10 +444,16 @@ def _render_pallas_jit(p_mat, pt_mat, cam_vec, seed, n_pixels_padded, tile, spp,
             out_specs=pl.BlockSpec((4, tile), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
         ),
         out_shape=jax.ShapeDtypeStruct((4, n_pixels_padded), jnp.float32),
-        # TPU-flavored interpreter (emulates pltpu.prng_* on CPU CI).
+        # TPU-flavored interpreter (runs the identical kernel on CPU CI).
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(seed, cam_vec, p_mat, pt_mat)
+    )(scalars, cam_vec, p_mat, pt_mat)
     return out
+
+
+_render_pallas_jit = jax.jit(
+    _render_pallas_core,
+    static_argnames=("n_pixels_padded", "tile", "spp", "max_depth", "interpret"),
+)
 
 
 def render_pallas(
@@ -472,10 +478,91 @@ def render_pallas(
     p_mat = pack_scene(scene)
     pt_mat = p_mat.T
     cam_vec = jnp.asarray(pack_camera(cam))
-    seed_arr = jnp.asarray([seed], jnp.int32)
+    scalars = jnp.asarray([seed, 0, 0, 0], jnp.int32)
 
     out = _render_pallas_jit(
-        p_mat, pt_mat, cam_vec, seed_arr, padded, tile, spp, max_depth, interpret
+        p_mat, pt_mat, cam_vec, scalars, padded, tile, spp, max_depth, interpret
     )
     img = out[0:3, :n_pixels]  # [3, n_pixels]
+    return jnp.transpose(img).reshape(h, w, 3)
+
+
+def render_pallas_distributed(
+    scene: Scene,
+    cam: Camera,
+    seed: int = 0,
+    mesh=None,
+    tile: int = DEFAULT_TILE,
+    spp: int | None = None,
+    max_depth: int | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Mesh-sharded Pallas render -> [H, W, 3].
+
+    Pixel axis: each device runs the kernel grid over a contiguous,
+    tile-aligned slab of the flat pixel space (its `pixel_offset` keeps
+    streams keyed by GLOBAL indices, so the image is bit-identical to
+    the single-chip kernel for any mesh). Sample axis: devices render
+    disjoint slices of the spp budget (`sample_offset`) and psum-mean —
+    the automated form of the reference's manual seed-merge workflow
+    (reference: gallery/gpu/image11-source-images/).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ray_tracing_in_one_weekend_tpu.parallel.dist import (
+        PIXEL_AXIS,
+        SAMPLE_AXIS,
+        make_mesh,
+    )
+
+    if mesh is None:
+        mesh = make_mesh()
+    spp = cam.samples_per_pixel if spp is None else spp
+    max_depth = cam.max_depth if max_depth is None else max_depth
+
+    n_pix_shards = mesh.shape[PIXEL_AXIS]
+    n_smp_shards = mesh.shape[SAMPLE_AXIS]
+    if spp % n_smp_shards != 0:
+        raise ValueError(
+            f"samples_per_pixel={spp} must divide evenly over the "
+            f"'{SAMPLE_AXIS}' mesh axis of size {n_smp_shards}"
+        )
+    spp_local = spp // n_smp_shards
+
+    w, h = cam.image_width, cam.image_height
+    n_pixels = w * h
+    shard_pixels = -(-n_pixels // (n_pix_shards * tile)) * tile
+    padded = shard_pixels * n_pix_shards
+
+    p_mat = pack_scene(scene)
+    pt_mat = p_mat.T
+    cam_vec = jnp.asarray(pack_camera(cam))
+    # Per-pixel-shard slab offsets, replicated along the sample axis.
+    offsets = (jnp.arange(n_pix_shards, dtype=jnp.int32) * shard_pixels)[:, None]
+
+    def shard_fn(p_mat, pt_mat, cam_vec, offset):
+        s_idx = jax.lax.axis_index(SAMPLE_AXIS).astype(jnp.int32)
+        scalars = jnp.stack(
+            [
+                jnp.int32(seed),
+                offset[0, 0],
+                s_idx * spp_local,
+                jnp.int32(0),
+            ]
+        )
+        out = _render_pallas_core(
+            p_mat, pt_mat, cam_vec, scalars, shard_pixels, tile,
+            spp_local, max_depth, interpret,
+        )  # [4, shard_pixels]
+        return jax.lax.pmean(out, SAMPLE_AXIS)
+
+    out = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(PIXEL_AXIS, None)),
+        out_specs=P(None, PIXEL_AXIS),
+        check_vma=False,
+    )(p_mat, pt_mat, cam_vec, offsets)  # [4, padded]
+
+    img = out[0:3, :n_pixels]
     return jnp.transpose(img).reshape(h, w, 3)

@@ -124,10 +124,18 @@ def main(argv=None) -> int:
 
     def run():
         if backend == "pallas":
-            from ray_tracing_in_one_weekend_tpu.ops.pallas_render import render_pallas
+            from ray_tracing_in_one_weekend_tpu.ops import pallas_render
 
             interpret = jax.devices()[0].platform != "tpu"
-            return render_pallas(
+            if config.mesh_shape:
+                from ray_tracing_in_one_weekend_tpu.parallel import dist
+
+                mesh = dist.make_mesh(config.mesh_shape)
+                return pallas_render.render_pallas_distributed(
+                    scene, cam, seed=config.seed, mesh=mesh, tile=args.tile,
+                    interpret=interpret,
+                )
+            return pallas_render.render_pallas(
                 scene, cam, seed=config.seed, tile=args.tile, interpret=interpret
             )
         if config.mesh_shape:

@@ -1,0 +1,52 @@
+"""Mesh-sharded Pallas kernel: bit-identical to the single-chip kernel
+for any mesh layout (streams key on global pixel/sample indices)."""
+
+import jax
+import numpy as np
+import pytest
+
+from ray_tracing_in_one_weekend_tpu.models import scene as scene_lib
+from ray_tracing_in_one_weekend_tpu.models.camera import make_camera
+from ray_tracing_in_one_weekend_tpu.ops.pallas_render import (
+    render_pallas,
+    render_pallas_distributed,
+)
+from ray_tracing_in_one_weekend_tpu.parallel.dist import make_mesh
+
+
+def _cam(spp=8):
+    return make_camera(
+        image_width=32,
+        aspect_ratio=2.0,
+        samples_per_pixel=spp,
+        max_depth=6,
+        vfov_degrees=90.0,
+        lookfrom=(0.0, 0.0, 0.0),
+        lookat=(0.0, 0.0, -1.0),
+        defocus_angle_degrees=0.0,
+        focus_dist=1.0,
+    )
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 4), (1, 8)])
+def test_pallas_dist_matches_single(mesh_shape):
+    sc = scene_lib.single_sphere_scene(pad_to=128)
+    cam = _cam()
+    single = np.asarray(render_pallas(sc, cam, seed=0, tile=128, interpret=True))
+    mesh = make_mesh(mesh_shape)
+    dist_img = np.asarray(
+        render_pallas_distributed(
+            sc, cam, seed=0, mesh=mesh, tile=128, interpret=True
+        )
+    )
+    # only difference: pmean summation order on the sample axis (1 ulp)
+    np.testing.assert_allclose(dist_img, single, atol=1e-6)
+
+
+def test_pallas_dist_spp_divisibility():
+    sc = scene_lib.single_sphere_scene(pad_to=128)
+    cam = _cam(spp=3)
+    with pytest.raises(ValueError, match="divide evenly"):
+        render_pallas_distributed(
+            sc, cam, seed=0, mesh=make_mesh((1, 8)), tile=128, interpret=True
+        )
