@@ -65,6 +65,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-output", action="store_true", help="render + report timing only")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the timed render into DIR")
+    p.add_argument("--checkpoint", default=None, metavar="FILE.npz",
+                   help="progressive rendering: accumulate into FILE.npz, resuming "
+                        "if it exists; the final image equals a monolithic run")
+    p.add_argument("--spp-batch", type=int, default=None,
+                   help="samples per accumulation batch (with --checkpoint)")
     return p
 
 
@@ -149,6 +154,9 @@ def main(argv=None) -> int:
 
         return render_image(scene, cam, config.seed, chunk_size=config.chunk_pixels)
 
+    if args.checkpoint:
+        return _run_checkpointed(args, config, scene, cam)
+
     # Warmup/compile outside the timed bracket, like the reference times
     # only the render (reference: src/gpu/main.cu:128-139). The scalar
     # fetch is the completion barrier (remote TPU platforms dispatch
@@ -182,6 +190,57 @@ def main(argv=None) -> int:
     from ray_tracing_in_one_weekend_tpu.utils import ppm
 
     u8 = np.asarray(to_uint8(img))
+    if args.png:
+        from PIL import Image
+
+        Image.fromarray(u8).save(args.png)
+        _log(f"wrote {args.png}")
+    if args.out == "-":
+        ppm.write_ppm(u8, sys.stdout.buffer)
+        sys.stdout.buffer.flush()
+    else:
+        ppm.write_ppm(u8, args.out)
+        _log(f"wrote {args.out}")
+    return 0
+
+
+def _run_checkpointed(args, config, scene, cam) -> int:
+    """Progressive accumulation with resume (utils/checkpoint.py)."""
+    import os
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ray_tracing_in_one_weekend_tpu.utils import checkpoint as ckpt
+
+    if os.path.exists(args.checkpoint):
+        state = ckpt.load(args.checkpoint)
+        _log(f"resumed {args.checkpoint} at {int(state.spp_done)} spp")
+    else:
+        state = ckpt.new_state(cam)
+
+    target_spp = config.samples_per_pixel
+    batch = args.spp_batch or max(1, target_spp // 10)
+    while int(state.spp_done) < target_spp:
+        n = min(batch, target_spp - int(state.spp_done))
+        t0 = time.perf_counter()
+        state = ckpt.accumulate(
+            state, scene, cam, config.seed, n, chunk_size=config.chunk_pixels
+        )
+        float(jnp.sum(state.accum))  # completion barrier
+        ckpt.save(state, args.checkpoint)
+        _log(
+            f"accumulated {int(state.spp_done)}/{target_spp} spp "
+            f"(+{n} in {time.perf_counter() - t0:.2f}s)"
+        )
+
+    if args.no_output:
+        return 0
+
+    from ray_tracing_in_one_weekend_tpu.ops.image import to_uint8
+    from ray_tracing_in_one_weekend_tpu.utils import ppm
+
+    u8 = np.asarray(to_uint8(state.image))
     if args.png:
         from PIL import Image
 
