@@ -130,8 +130,12 @@ def _pcg(x):
 
 
 def _to_unit_float(bits):
-    """uint32 -> (0, 1) float32 with a 24-bit mantissa (log-safe)."""
-    u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    """uint32 -> (0, 1) float32 with a 24-bit mantissa (log-safe).
+
+    Top 24 bits fit in a non-negative int32; Mosaic has no direct
+    uint32->float32 cast, so round-trip through int32.
+    """
+    u = (bits >> 8).astype(jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24))
     return u + (0.5 / (1 << 24))
 
 
@@ -339,15 +343,20 @@ def _render_kernel(
             is_lam, lam_dir, jnp.where(is_metal, metal_dir, diel_dir)
         )
         atten = jnp.where(mat >= 1.5, jnp.ones_like(albedo), albedo)
-        ok = jnp.where(is_metal, metal_ok, jnp.ones_like(metal_ok))
+        # Logical (not select) form: a bool-valued jnp.where lowers to an
+        # i8 select + i1 truncation Mosaic rejects.
+        ok = (~is_metal) | metal_ok
         return new_dir, atten, ok
 
-    def trace_one_sample(radiance_acc, s):
-        # Per-(pixel, GLOBAL sample) stream (sample_offset = spp-shard base).
-        s_global = s + seed_ref[2]
-        stream = _pcg(h0 ^ (s_global.astype(jnp.uint32) * _GOLDEN))
+    def camera_ray(s_local):
+        """Camera ray + RNG stream for per-lane LOCAL sample index
+        `s_local` [1,T] i32 (reference: src/gpu/camera.h:140-167).
 
-        # --- camera ray (reference: src/gpu/camera.h:140-167) ------------
+        Stream/draw-counter scheme is identical per (pixel, global
+        sample) to the pre-persistent kernel, so images are unchanged.
+        """
+        s_global = s_local + seed_ref[2]
+        stream = _pcg(h0 ^ (s_global.astype(jnp.uint32) * _GOLDEN))
         jx = _u01(stream, 0) - 0.5
         jy = _u01(stream, 1) - 0.5
         sample_pos = (
@@ -362,63 +371,99 @@ def _render_kernel(
         disk_origin = cam_center + disk_x * disk_u + disk_y * disk_v
         o = jnp.where(defocus_on, disk_origin, jnp.broadcast_to(cam_center, (3, tile)))
         d = sample_pos - o
+        return o, d, stream
 
-        atten = jnp.ones((3, tile), jnp.float32)
-        rad = jnp.zeros((3, tile), jnp.float32)
-        alive = jnp.ones((1, tile), jnp.bool_)
-
-        def cond(state):
-            i, _o, _d, _atten, _rad, alive = state
-            return (i < max_depth) & jnp.any(alive)
-
-        def body(state):
-            i, o, d, atten, rad, alive = state
-            t_best, params = closest_hit(o, d)
-            hit = t_best < (T_MISS * 0.5)  # [1, T]
-
-            # miss -> sky, retire (reference: src/gpu/camera.h:118-124)
-            unit_d = _normalize3(d)
-            sky_a = 0.5 * (unit_d[1:2] + 1.0)  # [1, T]
-            sky = jnp.concatenate(
-                [
-                    (1.0 - sky_a) + sky_a * 0.5,
-                    (1.0 - sky_a) + sky_a * 0.7,
-                    (1.0 - sky_a) + sky_a * 1.0,
-                ],
-                axis=0,
-            )  # [3, T]
-            miss = alive & ~hit
-            rad = rad + jnp.where(miss, atten * sky, 0.0)
-
-            # hit geometry
-            center_h = params[_CX : _CZ + 1]  # [3, T]
-            t_safe = jnp.where(hit, t_best, 1.0)
-            p = o + t_safe * d
-            inv_r = 1.0 / jnp.maximum(params[_R : _R + 1], 1e-8)
-            outward = (p - center_h) * inv_r
-            front_face = _dot3(d, outward) < 0.0
-            n_vec = jnp.where(front_face, outward, -outward)
-
-            ctr = np.uint32(8) + i.astype(jnp.uint32) * np.uint32(16)
-            new_dir, mat_atten, ok = scatter(d, n_vec, front_face, params, stream, ctr)
-
-            cont = alive & hit & ok
-            atten = jnp.where(cont, atten * mat_atten, atten)
-            o = jnp.where(cont, p, o)
-            d = jnp.where(cont, new_dir, d)
-            return i + 1, o, d, atten, rad, cont
-
-        _, _, _, _, rad, _ = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), o, d, atten, rad, alive)
-        )
-        return radiance_acc + rad, None
-
-    total = jnp.zeros((3, tile), jnp.float32)
-    total, _ = jax.lax.scan(
-        trace_one_sample, total, jnp.arange(spp, dtype=jnp.int32)
+    # ---- persistent-sample loop --------------------------------------
+    # The CUDA kernel loops samples-outer / bounces-inner per thread
+    # (reference: src/gpu/camera.h:189-192); a batched while-loop version
+    # of that pays the per-tile MAX bounce depth for every sample
+    # (mean retire depth on the cover scene is ~5.7 bounces, per-tile max
+    # is ~47 — an 8x waste). Instead each lane runs ONE flat loop over
+    # (sample, bounce) work items: when its ray retires it immediately
+    # regenerates the camera ray for its next sample. The tile exits
+    # after ~spp*mean_depth + tail iterations instead of spp*max_depth.
+    #
+    # Per-lane state (all f32/i32 vectors — Mosaic cannot round-trip i1
+    # vectors through a while carry):
+    #   started [1,T] i32: samples started; stream uint32: RNG stream of
+    #   the current sample; depth [1,T] i32: scatters so far this sample;
+    #   busy [1,T] f32: lane has a live ray.
+    s0 = jnp.zeros((1, tile), jnp.int32)
+    o, d, stream = camera_ray(s0)
+    state = (
+        jnp.int32(0),  # iteration counter (diagnostics row)
+        jnp.ones((1, tile), jnp.int32),  # started
+        stream,
+        jnp.zeros((1, tile), jnp.int32),  # depth
+        jnp.ones((1, tile), jnp.float32),  # busy
+        o,
+        d,
+        jnp.ones((3, tile), jnp.float32),  # atten
+        jnp.zeros((3, tile), jnp.float32),  # rad (sum over samples)
     )
+
+    def cond(state):
+        busy = state[4]
+        return jnp.max(busy) > 0.0
+
+    def body(state):
+        iters, started, stream, depth, busy_f, o, d, atten, rad = state
+        busy = busy_f > 0.0
+        t_best, params = closest_hit(o, d)
+        hit = t_best < (T_MISS * 0.5)  # [1, T]
+
+        # miss -> sky, retire (reference: src/gpu/camera.h:118-124)
+        unit_d = _normalize3(d)
+        sky_a = 0.5 * (unit_d[1:2] + 1.0)  # [1, T]
+        sky = jnp.concatenate(
+            [
+                (1.0 - sky_a) + sky_a * 0.5,
+                (1.0 - sky_a) + sky_a * 0.7,
+                (1.0 - sky_a) + sky_a * 1.0,
+            ],
+            axis=0,
+        )  # [3, T]
+        miss = busy & ~hit
+        rad = rad + jnp.where(miss, atten * sky, 0.0)
+
+        # hit geometry
+        center_h = params[_CX : _CZ + 1]  # [3, T]
+        t_safe = jnp.where(hit, t_best, 1.0)
+        p = o + t_safe * d
+        inv_r = 1.0 / jnp.maximum(params[_R : _R + 1], 1e-8)
+        outward = (p - center_h) * inv_r
+        front_face = _dot3(d, outward) < 0.0
+        n_vec = jnp.where(front_face, outward, -outward)
+
+        ctr = np.uint32(8) + depth.astype(jnp.uint32) * np.uint32(16)
+        new_dir, mat_atten, ok = scatter(d, n_vec, front_face, params, stream, ctr)
+
+        depth = depth + 1
+        cont = busy & hit & ok & (depth < max_depth)
+        atten = jnp.where(cont, atten * mat_atten, atten)
+        o = jnp.where(cont, p, o)
+        d = jnp.where(cont, new_dir, d)
+
+        # Retired lanes with samples left start their next sample NOW.
+        retired = busy & ~cont
+        regen = retired & (started < spp)
+        o2, d2, stream2 = camera_ray(started)
+        started = started + regen.astype(jnp.int32)
+        stream = jnp.where(regen, stream2, stream)
+        depth = jnp.where(regen, 0, depth)
+        atten = jnp.where(regen, 1.0, atten)
+        o = jnp.where(regen, o2, o)
+        d = jnp.where(regen, d2, d)
+        busy = cont | regen
+        return (iters + 1, started, stream, depth, busy.astype(jnp.float32),
+                o, d, atten, rad)
+
+    state = jax.lax.while_loop(cond, body, state)
+    total = state[8]
     out_ref[0:3, :] = total * (1.0 / spp)
-    out_ref[3:4, :] = jnp.zeros((1, tile), jnp.float32)
+    # Diagnostics row (sliced off by the caller): the tile's while-loop
+    # trip count, for perf analysis.
+    out_ref[3:4, :] = jnp.full((1, tile), 1.0, jnp.float32) * state[0].astype(jnp.float32)
 
 
 def _render_pallas_core(p_mat, pt_mat, cam_vec, scalars, n_pixels_padded, tile, spp, max_depth, interpret):
@@ -444,6 +489,12 @@ def _render_pallas_core(p_mat, pt_mat, cam_vec, scalars, n_pixels_padded, tile, 
             out_specs=pl.BlockSpec((4, tile), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
         ),
         out_shape=jax.ShapeDtypeStruct((4, n_pixels_padded), jnp.float32),
+        # The persistent-sample loop carries ~10 [CHUNK, tile] f32 temps
+        # plus the ray state; the default 16M scoped-vmem budget is too
+        # small for tile >= 2048.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         # TPU-flavored interpreter (runs the identical kernel on CPU CI).
         interpret=pltpu.InterpretParams() if interpret else False,
     )(scalars, cam_vec, p_mat, pt_mat)
