@@ -88,9 +88,17 @@ def sphere_hit_ts(
     o_sq = vm.length_squared(origin)[:, None]  # [R, 1]
     c_sq_minus_r_sq = (vm.length_squared(centers) - radius * radius)[None, :]  # [1, N]
 
-    # The two MXU-friendly cross terms.
-    d_dot_c = direction @ centers.T  # [R, N]
-    o_dot_c = origin @ centers.T  # [R, N]
+    # The two MXU-friendly cross terms. Precision matters: TPU matmuls
+    # default to bf16 multiplies, whose ~3-digit mantissa perturbs root
+    # positions by ~1e-2 — far beyond the 1e-3 shadow-acne epsilon — and
+    # visibly darkens the render with spurious self-hits. HIGHEST forces
+    # full f32 (multi-pass on the MXU).
+    d_dot_c = jnp.matmul(
+        direction, centers.T, precision=jax.lax.Precision.HIGHEST
+    )  # [R, N]
+    o_dot_c = jnp.matmul(
+        origin, centers.T, precision=jax.lax.Precision.HIGHEST
+    )  # [R, N]
 
     half_b = o_dot_d - d_dot_c  # [R, N]
     c = o_sq - 2.0 * o_dot_c + c_sq_minus_r_sq  # [R, N]
@@ -156,7 +164,11 @@ def hit_scene(
         ],
         axis=-1,
     )
-    hit_params = onehot @ params  # [R, 10] — MXU
+    # HIGHEST: a bf16-precision product would round the gathered scene
+    # parameters themselves (centers, radii, albedo) to bf16.
+    hit_params = jnp.matmul(
+        onehot, params, precision=jax.lax.Precision.HIGHEST
+    )  # [R, 10] — MXU
     t = jnp.sum(onehot * ts, axis=-1)  # selected t (grad flows into ts)
     sphere_index = jnp.argmax(onehot, axis=-1).astype(jnp.int32)
 

@@ -64,9 +64,11 @@ T_MIN_EPS = 1e-3
 # Sphere-chunk size along the sublane axis.
 CHUNK = 128
 
-# P-matrix row indices.
-_CX, _CY, _CZ, _R, _R2, _AR, _AG, _AB, _FUZZ, _IOR, _MAT, _ACTIVE = range(12)
-P_ROWS = 16  # padded to a multiple of 8 sublanes
+# P-matrix row indices. Rows 12:16 are the homogeneous o-term block
+# (-2cx, -2cy, -2cz, |c|^2 - r^2) used by the fused cc matmul.
+(_CX, _CY, _CZ, _R, _R2, _AR, _AG, _AB, _FUZZ, _IOR, _MAT, _ACTIVE,
+ _M2CX, _M2CY, _M2CZ, _CSQR2) = range(16)
+P_ROWS = 16  # a multiple of 8 sublanes
 
 # Camera scalar vector layout (SMEM).
 # [0:3] center, [3:6] pixel00, [6:9] delta_u, [9:12] delta_v,
@@ -76,23 +78,40 @@ CAM_LEN = 24
 
 
 def pack_scene(scene: Scene) -> jnp.ndarray:
-    """Scene SoA -> [16, N] parameter matrix (see module docstring)."""
+    """Scene SoA -> [16, N] parameter matrix (see module docstring).
+
+    Rows 12:16 hold (-2*c, |c|^2 - r^2): the homogeneous augmentation
+    that lets the kernel fuse the quadratic's o-terms into one
+    [CHUNK,4] @ [4,T] matmul (cc = o.o + row12:15 @ [o,1]).
+
+    Inactive padding slots are made analytically unhittable instead of
+    carrying a mask: center=0 and r^2=-1 give, for unit ray directions,
+    disc = (o.d)^2 - (o.o + 1) <= -1 < 0 by Cauchy-Schwarz — so the hot
+    loop never tests an `active` row.
+    """
     n = scene.center.shape[0]
     if n % CHUNK != 0:
         raise ValueError(f"scene slots ({n}) must be a multiple of {CHUNK}")
+    act = scene.active.astype(jnp.float32)
+    center = scene.center * act[:, None]
+    r2 = jnp.where(scene.active, scene.radius * scene.radius, -1.0)
     rows = jnp.zeros((P_ROWS, n), jnp.float32)
-    rows = rows.at[_CX].set(scene.center[:, 0])
-    rows = rows.at[_CY].set(scene.center[:, 1])
-    rows = rows.at[_CZ].set(scene.center[:, 2])
+    rows = rows.at[_CX].set(center[:, 0])
+    rows = rows.at[_CY].set(center[:, 1])
+    rows = rows.at[_CZ].set(center[:, 2])
     rows = rows.at[_R].set(scene.radius)
-    rows = rows.at[_R2].set(scene.radius * scene.radius)
+    rows = rows.at[_R2].set(r2)
     rows = rows.at[_AR].set(scene.albedo[:, 0])
     rows = rows.at[_AG].set(scene.albedo[:, 1])
     rows = rows.at[_AB].set(scene.albedo[:, 2])
     rows = rows.at[_FUZZ].set(scene.fuzz)
     rows = rows.at[_IOR].set(scene.ior)
     rows = rows.at[_MAT].set(scene.mat_type.astype(jnp.float32))
-    rows = rows.at[_ACTIVE].set(scene.active.astype(jnp.float32))
+    rows = rows.at[_ACTIVE].set(act)
+    rows = rows.at[_M2CX].set(-2.0 * center[:, 0])
+    rows = rows.at[_M2CY].set(-2.0 * center[:, 1])
+    rows = rows.at[_M2CZ].set(-2.0 * center[:, 2])
+    rows = rows.at[_CSQR2].set(jnp.sum(center * center, axis=1) - r2)
     return rows
 
 
@@ -223,14 +242,14 @@ def _render_kernel(
     n_chunks = n_spheres // CHUNK
 
     def closest_hit(o, d):
-        """Sphere-chunked closest hit.
+        """Sphere-chunked closest hit. `d` MUST be unit length (a = 1,
+        so the quadratic is t^2 + 2*half_b*t + cc with roots
+        -half_b -+ sqrt(disc)).
 
         Returns (t_best [1,T], params_best [16,T]). params rows follow
         the P matrix; rows of retired/miss lanes are garbage (masked by
         the caller via t_best).
         """
-        a = _dot3(d, d)  # [1, T]
-        inv_a = 1.0 / a
         o_dot_d = _dot3(o, d)
         o_sq = _dot3(o, o)
 
@@ -240,37 +259,39 @@ def _render_kernel(
         def chunk_body(c, carry):
             t_best, params_best = carry
             base = c * CHUNK
-            centers = pt_ref[pl.ds(base, CHUNK), 0:3]  # [128, 3]
-            # MXU: cross terms for all (sphere, ray) pairs in the chunk.
-            d_dot_c = jax.lax.dot_general(
-                centers, d, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [128, T]
-            o_dot_c = jax.lax.dot_general(
-                centers, o, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [128, T]
-            c_sq_m_r2 = (
-                jnp.sum(centers * centers, axis=1, keepdims=True)
-                - pt_ref[pl.ds(base, CHUNK), _R2 : _R2 + 1]
-            )  # [128, 1]
-            active = pt_ref[pl.ds(base, CHUNK), _ACTIVE : _ACTIVE + 1]  # [128,1]
+            # Cross terms for all (sphere, ray) pairs as broadcast
+            # outer-products on the VPU: a K=3 dot_general wastes a full
+            # MXU pass per 128x128 output tile (the systolic array is
+            # paid as if K were 128), while [128,1]*[1,T] broadcasts are
+            # plain vector ops — 5-7 of them beat 16 near-empty MXU
+            # passes.
+            cx = pt_ref[pl.ds(base, CHUNK), _CX : _CX + 1]  # [128, 1]
+            cy = pt_ref[pl.ds(base, CHUNK), _CY : _CY + 1]
+            cz = pt_ref[pl.ds(base, CHUNK), _CZ : _CZ + 1]
+            csqr2 = pt_ref[pl.ds(base, CHUNK), _CSQR2 : _CSQR2 + 1]
+            m2cx = pt_ref[pl.ds(base, CHUNK), _M2CX : _M2CX + 1]
+            m2cy = pt_ref[pl.ds(base, CHUNK), _M2CY : _M2CY + 1]
+            m2cz = pt_ref[pl.ds(base, CHUNK), _M2CZ : _M2CZ + 1]
+            d_dot_c = cx * d[0:1] + cy * d[1:2] + cz * d[2:3]  # [128, T]
+            # -2 o.c + |c|^2 - r^2 (the -2c rows fold the scale away)
+            cc_part = csqr2 + m2cx * o[0:1] + m2cy * o[1:2] + m2cz * o[2:3]
 
             half_b = o_dot_d - d_dot_c  # [128, T]
-            cc = o_sq - 2.0 * o_dot_c + c_sq_m_r2  # [128, T]
-            disc = half_b * half_b - a * cc
-            has_root = disc > 0.0
-            sqrt_d = jnp.sqrt(jnp.where(has_root, disc, 0.0))
-            root_near = (-half_b - sqrt_d) * inv_a
-            root_far = (-half_b + sqrt_d) * inv_a
+            cc = o_sq + cc_part  # [128, T]
+            disc = half_b * half_b - cc
+            sqrt_d = jnp.sqrt(jnp.maximum(disc, 0.0))
+            root_near = -half_b - sqrt_d
+            root_far = -half_b + sqrt_d
             # Nearest root strictly inside (t_min, t_best) — the
             # shrinking closest_so_far interval
-            # (reference: src/gpu/hittable_list.h:49-65).
+            # (reference: src/gpu/hittable_list.h:49-65). When disc <= 0
+            # (no real root — including every padding slot, which has
+            # r^2 = -1 so disc <= -1) both roots degenerate to -half_b;
+            # the explicit disc > 0 term in `valid` rejects them.
             near_ok = (root_near > T_MIN_EPS) & (root_near < t_best)
             t_c = jnp.where(near_ok, root_near, root_far)
             valid = (
-                has_root
-                & (active > 0.5)
+                (disc > 0.0)
                 & (t_c > T_MIN_EPS)
                 & (t_c < t_best)
             )
@@ -301,11 +322,12 @@ def _render_kernel(
 
     def scatter(d, n_vec, front_face, params, stream, ctr):
         """Branchless 3-material scatter on [3,T]/[1,T] blocks
-        (same semantics as ops/materials.scatter_sampled)."""
+        (same semantics as ops/materials.scatter_sampled). `d` is unit;
+        the returned direction is unit (the closest_hit invariant)."""
         unit_sample = _unit_vectors(stream, ctr)  # [3, T]
         reflect_u = _u01(stream, ctr + 4)
 
-        unit_in = _normalize3(d)
+        unit_in = d
         mat = params[_MAT : _MAT + 1]  # [1, T]
         albedo = params[_AR : _AB + 1]  # [3, T]
         fuzz = params[_FUZZ : _FUZZ + 1]
@@ -342,6 +364,9 @@ def _render_kernel(
         new_dir = jnp.where(
             is_lam, lam_dir, jnp.where(is_metal, metal_dir, diel_dir)
         )
+        # Restore the unit invariant (lam/metal dirs are not unit;
+        # dielectric reflect/refract of a unit vector already is).
+        new_dir = _normalize3(new_dir)
         atten = jnp.where(mat >= 1.5, jnp.ones_like(albedo), albedo)
         # Logical (not select) form: a bool-valued jnp.where lowers to an
         # i8 select + i1 truncation Mosaic rejects.
@@ -370,7 +395,9 @@ def _render_kernel(
         disk_y = disk_r * jnp.sin(disk_t)
         disk_origin = cam_center + disk_x * disk_u + disk_y * disk_v
         o = jnp.where(defocus_on, disk_origin, jnp.broadcast_to(cam_center, (3, tile)))
-        d = sample_pos - o
+        # Unit direction: closest_hit assumes |d| = 1 (t becomes true
+        # distance; the reference's t is in |d| units, same geometry).
+        d = _normalize3(sample_pos - o)
         return o, d, stream
 
     # ---- persistent-sample loop --------------------------------------
@@ -413,8 +440,8 @@ def _render_kernel(
         hit = t_best < (T_MISS * 0.5)  # [1, T]
 
         # miss -> sky, retire (reference: src/gpu/camera.h:118-124)
-        unit_d = _normalize3(d)
-        sky_a = 0.5 * (unit_d[1:2] + 1.0)  # [1, T]
+        # d is unit by the loop invariant.
+        sky_a = 0.5 * (d[1:2] + 1.0)  # [1, T]
         sky = jnp.concatenate(
             [
                 (1.0 - sky_a) + sky_a * 0.5,

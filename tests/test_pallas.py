@@ -35,8 +35,17 @@ def test_pack_scene_layout():
     p = np.asarray(pack_scene(sc))
     assert p.shape == (16, 128)
     np.testing.assert_allclose(p[0:3, 1], [0.0, 0.0, -1.0])  # center sphere
-    np.testing.assert_allclose(p[4], p[3] ** 2)  # r^2 row
+    act = p[11].astype(bool)
+    np.testing.assert_allclose(p[4, act], p[3, act] ** 2)  # r^2 row
+    # padding slots are analytically unhittable: center 0, r^2 = -1
+    np.testing.assert_allclose(p[4, ~act], -1.0)
+    np.testing.assert_allclose(p[0:3, ~act], 0.0)
     assert p[11, :4].sum() == 4.0 and p[11, 4:].sum() == 0.0  # active mask
+    # homogeneous o-term rows: (-2c, |c|^2 - r^2)
+    np.testing.assert_allclose(p[12:15], -2.0 * p[0:3])
+    np.testing.assert_allclose(
+        p[15], (p[0:3] ** 2).sum(axis=0) - p[4], rtol=1e-6
+    )
 
 
 def test_sky_only_matches_exactly():
