@@ -88,11 +88,12 @@ def sphere_hit_ts(
     o_sq = vm.length_squared(origin)[:, None]  # [R, 1]
     c_sq_minus_r_sq = (vm.length_squared(centers) - radius * radius)[None, :]  # [1, N]
 
-    # The two MXU-friendly cross terms. Precision matters: TPU matmuls
-    # default to bf16 multiplies, whose ~3-digit mantissa perturbs root
-    # positions by ~1e-2 — far beyond the 1e-3 shadow-acne epsilon — and
-    # visibly darkens the render with spurious self-hits. HIGHEST forces
-    # full f32 (multi-pass on the MXU).
+    # The two MXU cross terms. Precision matters: TPU matmuls default to
+    # bf16 multiplies, whose ~3-digit mantissa perturbs root positions by
+    # ~1e-2 — far beyond the 1e-3 shadow-acne epsilon — and visibly
+    # darkens the render with spurious self-hits. HIGHEST forces full f32
+    # (multi-pass on the MXU; measured faster than an elementwise
+    # broadcast contraction, which is HBM-bound on [R, N] intermediates).
     d_dot_c = jnp.matmul(
         direction, centers.T, precision=jax.lax.Precision.HIGHEST
     )  # [R, N]

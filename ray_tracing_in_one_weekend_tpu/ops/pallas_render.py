@@ -70,6 +70,18 @@ CHUNK = 128
  _M2CX, _M2CY, _M2CZ, _CSQR2) = range(16)
 P_ROWS = 16  # a multiple of 8 sublanes
 
+# Per-lane resumable state layout (the kernel's in/out contract; see the
+# persistent-sample loop). Float block rows: ray origin, unit direction,
+# running attenuation, radiance accumulated so far (sum over this lane's
+# retired samples), while-loop trip count (diagnostics, out only). Int
+# block rows: global pixel id, samples started, RNG stream (bit-pattern),
+# bounce depth of the live ray, busy flag.
+_SF_O, _SF_D, _SF_ATT, _SF_RAD = 0, 3, 6, 9
+_SF_ITERS = 12
+SF_ROWS = 16  # 13 used, padded to sublane multiple
+_SI_PIX, _SI_STARTED, _SI_STREAM, _SI_DEPTH, _SI_BUSY = range(5)
+SI_ROWS = 8
+
 # Camera scalar vector layout (SMEM).
 # [0:3] center, [3:6] pixel00, [6:9] delta_u, [9:12] delta_v,
 # [12:15] defocus_disk_u, [15:18] defocus_disk_v, [18] defocus_angle,
@@ -203,19 +215,22 @@ def _normalize3(v):
 # ---------------------------------------------------------------------------
 
 def _render_kernel(
-    seed_ref,  # SMEM [4] int32  (scalar prefetch: seed, pixel_offset, sample_offset, pad)
+    seed_ref,  # SMEM [4] int32  (scalar prefetch: seed, pixel_offset
+    #            — used driver-side only — sample_offset, pad)
     cam_ref,  # SMEM [CAM_LEN] f32 (scalar prefetch)
     p_ref,  # VMEM [16, N] scene param matrix
     pt_ref,  # VMEM [N, 16] transposed params
-    out_ref,  # VMEM [4, TILE] output (rgb + pad row)
+    sf_ref,  # VMEM [SF_ROWS, TILE] float lane state in
+    si_ref,  # VMEM [SI_ROWS, TILE] int lane state in
+    of_ref,  # VMEM [SF_ROWS, TILE] float lane state out
+    oi_ref,  # VMEM [SI_ROWS, TILE] int lane state out
     *,
     tile: int,
     n_spheres: int,
     spp: int,
     max_depth: int,
+    budget: int,
 ):
-    tile_id = pl.program_id(0)
-
     width = cam_ref[19].astype(jnp.int32)
     cam_center = jnp.stack(
         [cam_ref[0], cam_ref[1], cam_ref[2]]
@@ -227,11 +242,11 @@ def _render_kernel(
     disk_v = jnp.stack([cam_ref[15], cam_ref[16], cam_ref[17]]).reshape(3, 1)
     defocus_on = cam_ref[18] > 0.0
 
-    # Global flat pixel index of each lane -> (px, py). pixel_offset is
-    # the device's slab start under pixel sharding, so streams and
-    # geometry stay keyed by the GLOBAL index on any mesh.
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
-    pix = seed_ref[1] + tile_id * tile + lane
+    # Each lane carries its GLOBAL flat pixel index in the int state (the
+    # compaction passes shuffle lanes, so lane id no longer implies the
+    # pixel). Streams and geometry stay keyed by the global index on any
+    # mesh / any pass.
+    pix = si_ref[_SI_PIX : _SI_PIX + 1, :]  # [1, T] i32
     px = (pix % width).astype(jnp.float32)
     py = (pix // width).astype(jnp.float32)
 
@@ -400,42 +415,70 @@ def _render_kernel(
         d = _normalize3(sample_pos - o)
         return o, d, stream
 
-    # ---- persistent-sample loop --------------------------------------
+    # ---- persistent-sample loop, budgeted & resumable -----------------
     # The CUDA kernel loops samples-outer / bounces-inner per thread
     # (reference: src/gpu/camera.h:189-192); a batched while-loop version
     # of that pays the per-tile MAX bounce depth for every sample
     # (mean retire depth on the cover scene is ~5.7 bounces, per-tile max
     # is ~47 — an 8x waste). Instead each lane runs ONE flat loop over
     # (sample, bounce) work items: when its ray retires it immediately
-    # regenerates the camera ray for its next sample. The tile exits
-    # after ~spp*mean_depth + tail iterations instead of spp*max_depth.
+    # regenerates the camera ray for its next unfinished sample.
+    #
+    # Even so, a tile pays the MAX lane queue (~130 iterations for
+    # spp=10 vs a 29-iteration mean): the bounce-depth tail is heavy. So
+    # the loop also stops after `budget` iterations and dumps the raw
+    # lane state; the host driver compacts unfinished lanes into dense
+    # front tiles and re-invokes (tail compaction — see render_pallas).
     #
     # Per-lane state (all f32/i32 vectors — Mosaic cannot round-trip i1
     # vectors through a while carry):
     #   started [1,T] i32: samples started; stream uint32: RNG stream of
     #   the current sample; depth [1,T] i32: scatters so far this sample;
     #   busy [1,T] f32: lane has a live ray.
-    s0 = jnp.zeros((1, tile), jnp.int32)
-    o, d, stream = camera_ray(s0)
+    started = si_ref[_SI_STARTED : _SI_STARTED + 1, :]
+    stream = si_ref[_SI_STREAM : _SI_STREAM + 1, :].astype(jnp.uint32)
+    depth = si_ref[_SI_DEPTH : _SI_DEPTH + 1, :]
+    busy0 = si_ref[_SI_BUSY : _SI_BUSY + 1, :] > 0
+    o = sf_ref[_SF_O : _SF_O + 3, :]
+    d = sf_ref[_SF_D : _SF_D + 3, :]
+    atten = sf_ref[_SF_ATT : _SF_ATT + 3, :]
+    rad = sf_ref[_SF_RAD : _SF_RAD + 3, :]
+
+    # Idle lanes with samples left start one NOW — the first iteration of
+    # the bottom-of-loop regeneration, hoisted out of the loop. On a
+    # fresh launch that is every live lane's sample 0; on a resumed pass
+    # it is only lanes the budget stopped between samples. After this,
+    # `started < spp` implies busy, so the loop cond tests busy alone.
+    can_start = (~busy0) & (started < spp)
+    o0, d0, stream0 = camera_ray(started)
+    started = started + can_start.astype(jnp.int32)
+    stream = jnp.where(can_start, stream0, stream)
+    depth = jnp.where(can_start, 0, depth)
+    atten = jnp.where(can_start, 1.0, atten)
+    o = jnp.where(can_start, o0, o)
+    d = jnp.where(can_start, d0, d)
+    busy0 = busy0 | can_start
+
     state = (
-        jnp.int32(0),  # iteration counter (diagnostics row)
-        jnp.ones((1, tile), jnp.int32),  # started
+        jnp.int32(0),  # iteration counter
+        started,
         stream,
-        jnp.zeros((1, tile), jnp.int32),  # depth
-        jnp.ones((1, tile), jnp.float32),  # busy
+        depth,
+        busy0.astype(jnp.float32),
         o,
         d,
-        jnp.ones((3, tile), jnp.float32),  # atten
-        jnp.zeros((3, tile), jnp.float32),  # rad (sum over samples)
+        atten,
+        rad,
     )
 
     def cond(state):
-        busy = state[4]
-        return jnp.max(busy) > 0.0
+        iters, _started, _stream, _depth, busy_f, *_ = state
+        return (iters < budget) & (jnp.max(busy_f) > 0.0)
 
     def body(state):
         iters, started, stream, depth, busy_f, o, d, atten, rad = state
         busy = busy_f > 0.0
+
         t_best, params = closest_hit(o, d)
         hit = t_best < (T_MISS * 0.5)  # [1, T]
 
@@ -482,29 +525,62 @@ def _render_kernel(
         o = jnp.where(regen, o2, o)
         d = jnp.where(regen, d2, d)
         busy = cont | regen
-        return (iters + 1, started, stream, depth, busy.astype(jnp.float32),
-                o, d, atten, rad)
+        return (iters + 1, started, stream, depth,
+                busy.astype(jnp.float32), o, d, atten, rad)
 
     state = jax.lax.while_loop(cond, body, state)
-    total = state[8]
-    out_ref[0:3, :] = total * (1.0 / spp)
-    # Diagnostics row (sliced off by the caller): the tile's while-loop
-    # trip count, for perf analysis.
-    out_ref[3:4, :] = jnp.full((1, tile), 1.0, jnp.float32) * state[0].astype(jnp.float32)
+    iters, started, stream, depth, busy_f, o, d, atten, rad = state
+
+    # Raw lane state out — the resume/compaction contract. Radiance rides
+    # in the state (raw sum over this lane's retired samples across ALL
+    # passes; the driver divides by spp once at the end), so the driver
+    # touches HBM-side radiance exactly once per render, not per pass.
+    of_ref[_SF_O : _SF_O + 3, :] = o
+    of_ref[_SF_D : _SF_D + 3, :] = d
+    of_ref[_SF_ATT : _SF_ATT + 3, :] = atten
+    of_ref[_SF_RAD : _SF_RAD + 3, :] = rad
+    # Diagnostics row: the tile's while-loop trip count, for perf
+    # analysis (every lane of the tile shares it).
+    of_ref[_SF_ITERS : _SF_ITERS + 1, :] = jnp.full(
+        (1, tile), 1.0, jnp.float32
+    ) * iters.astype(jnp.float32)
+    of_ref[_SF_ITERS + 1 : SF_ROWS, :] = jnp.zeros(
+        (SF_ROWS - _SF_ITERS - 1, tile), jnp.float32
+    )
+    oi_ref[_SI_PIX : _SI_PIX + 1, :] = pix
+    oi_ref[_SI_STARTED : _SI_STARTED + 1, :] = started
+    oi_ref[_SI_STREAM : _SI_STREAM + 1, :] = stream.astype(jnp.int32)
+    oi_ref[_SI_DEPTH : _SI_DEPTH + 1, :] = depth
+    oi_ref[_SI_BUSY : _SI_BUSY + 1, :] = busy_f.astype(jnp.int32)
+    oi_ref[_SI_BUSY + 1 : SI_ROWS, :] = jnp.zeros(
+        (SI_ROWS - _SI_BUSY - 1, tile), jnp.int32
+    )
 
 
-def _render_pallas_core(p_mat, pt_mat, cam_vec, scalars, n_pixels_padded, tile, spp, max_depth, interpret):
-    """pallas_call wrapper; `scalars` = [seed, pixel_offset, sample_offset, 0] int32."""
+def _render_pallas_core(p_mat, pt_mat, cam_vec, scalars, sf, si, tile, spp, max_depth, budget, interpret):
+    """One budgeted kernel pass over the whole lane-state buffer.
+
+    `scalars` = [seed, pixel_offset, sample_offset, 0] int32 (pixel_offset
+    is consumed by the driver, not the kernel). Returns the advanced
+    (float_state [SF_ROWS, P], int_state [SI_ROWS, P]) lane buffers.
+
+    A tile whose lanes are all finished exits the while loop at iteration
+    0 and — because the scene blocks' index maps are constant — triggers
+    no new scene DMA, so dead tail tiles on later passes cost only the
+    fixed per-grid-step overhead.
+    """
     n_spheres = p_mat.shape[1]
-    grid = n_pixels_padded // tile
+    padded = sf.shape[1]
+    grid = padded // tile
     kernel = functools.partial(
         _render_kernel,
         tile=tile,
         n_spheres=n_spheres,
         spp=spp,
         max_depth=max_depth,
+        budget=budget,
     )
-    out = pl.pallas_call(
+    of, oi = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -512,10 +588,18 @@ def _render_pallas_core(p_mat, pt_mat, cam_vec, scalars, n_pixels_padded, tile, 
             in_specs=[
                 pl.BlockSpec((P_ROWS, n_spheres), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((n_spheres, P_ROWS), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((SF_ROWS, tile), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((SI_ROWS, tile), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((4, tile), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
+            out_specs=[
+                pl.BlockSpec((SF_ROWS, tile), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((SI_ROWS, tile), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
+            ],
         ),
-        out_shape=jax.ShapeDtypeStruct((4, n_pixels_padded), jnp.float32),
+        out_shape=[
+            jax.ShapeDtypeStruct((SF_ROWS, padded), jnp.float32),
+            jax.ShapeDtypeStruct((SI_ROWS, padded), jnp.int32),
+        ],
         # The persistent-sample loop carries ~10 [CHUNK, tile] f32 temps
         # plus the ray state; the default 16M scoped-vmem budget is too
         # small for tile >= 2048.
@@ -524,14 +608,83 @@ def _render_pallas_core(p_mat, pt_mat, cam_vec, scalars, n_pixels_padded, tile, 
         ),
         # TPU-flavored interpreter (runs the identical kernel on CPU CI).
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(scalars, cam_vec, p_mat, pt_mat)
-    return out
+    )(scalars, cam_vec, p_mat, pt_mat, sf, si)
+    return of, oi
 
 
-_render_pallas_jit = jax.jit(
-    _render_pallas_core,
-    static_argnames=("n_pixels_padded", "tile", "spp", "max_depth", "interpret"),
+def _init_state(pixel_offset, padded, n_pixels_total, spp):
+    """Fresh lane state for the contiguous slab of `padded` lanes with
+    global pixel ids pixel_offset + [0, padded). Lanes beyond the image
+    are born finished (started = spp, not busy) — permanently dead, but
+    holding distinct pixel ids so the slab's ids stay a permutation
+    (the final unscramble is then a plain gather)."""
+    lane = jnp.arange(padded, dtype=jnp.int32)
+    pix = pixel_offset + lane
+    sf = jnp.zeros((SF_ROWS, padded), jnp.float32)
+    si = jnp.zeros((SI_ROWS, padded), jnp.int32)
+    si = si.at[_SI_PIX].set(pix)
+    si = si.at[_SI_STARTED].set(jnp.where(pix < n_pixels_total, 0, spp))
+    return sf, si
+
+
+def _multipass(p_mat, pt_mat, cam_vec, scalars, sf, si, tile, spp, max_depth, budget, n_passes, interpret):
+    """Budgeted kernel passes with tail compaction between them.
+
+    Why: one run-to-completion pass makes every tile pay its MAX lane
+    queue — the deep-bounce tail (dielectric/metal chains, ~47 bounces
+    on the cover scene vs a ~5.7 mean) idles >90% of lanes for the last
+    ~100 iterations. Instead each pass stops after `budget` iterations;
+    unfinished lanes (a few %) are compacted to the front of the state
+    buffer, so the next pass runs them shoulder-to-shoulder in a handful
+    of dense tiles while the dead tail exits at iteration 0. The final
+    pass runs unbudgeted (spp*max_depth bounds any lane's remaining
+    queue) to guarantee completion. Everything here jits — no host
+    round-trips, shapes static, usable as-is inside shard_map.
+
+    Returns the per-pixel radiance sum / spp as [3, padded], indexed by
+    LOCAL pixel id (global id - scalars[1])."""
+    padded = sf.shape[1]
+    final_budget = spp * max_depth
+    for p in range(n_passes):
+        b = budget if p < n_passes - 1 else final_budget
+        sf, si = _render_pallas_core(
+            p_mat, pt_mat, cam_vec, scalars, sf, si,
+            tile, spp, max_depth, b, interpret,
+        )
+        if p < n_passes - 1:
+            # Stable compaction: unfinished lanes to the front, in order.
+            unfinished = (si[_SI_BUSY] > 0) | (si[_SI_STARTED] < spp)
+            order = jnp.argsort(
+                jnp.where(unfinished, 0, 1), stable=True
+            )
+            sf = sf[:, order]
+            si = si[:, order]
+    # Unscramble: lane pixel ids are a permutation of the slab, so
+    # sort-by-pixel-id is a gather straight into image order.
+    local_pix = si[_SI_PIX] - scalars[1]
+    if n_passes > 1:
+        order = jnp.argsort(local_pix)
+        rad = sf[_SF_RAD : _SF_RAD + 3][:, order]
+    else:
+        rad = sf[_SF_RAD : _SF_RAD + 3]
+    return rad * (1.0 / spp)
+
+
+_multipass_jit = jax.jit(
+    _multipass,
+    static_argnames=("tile", "spp", "max_depth", "budget", "n_passes", "interpret"),
 )
+
+# Default budgeted passes before the unbudgeted finisher. 1 disables
+# compaction (single run-to-completion pass, the pre-compaction behavior).
+DEFAULT_PASSES = 3
+
+
+def _default_budget(spp: int) -> int:
+    # Mean lane queue on the cover scene is ~2.9 iterations per sample;
+    # ~4x the mean lets the bulk of lanes finish in pass 1 while the
+    # deep tail (few %) falls through to the compacted passes.
+    return max(16, 4 * spp)
 
 
 def render_pallas(
@@ -542,13 +695,18 @@ def render_pallas(
     spp: int | None = None,
     max_depth: int | None = None,
     interpret: bool = False,
+    n_passes: int = DEFAULT_PASSES,
+    budget: int | None = None,
 ) -> jnp.ndarray:
     """Render the full image with the Pallas TPU kernel -> [H, W, 3].
 
     `interpret=True` runs the kernel in the Pallas interpreter (CPU CI).
+    `n_passes`/`budget` tune tail compaction (see _multipass); the image
+    is bit-identical for any setting — only lane scheduling changes.
     """
     spp = cam.samples_per_pixel if spp is None else spp
     max_depth = cam.max_depth if max_depth is None else max_depth
+    budget = _default_budget(spp) if budget is None else budget
     w, h = cam.image_width, cam.image_height
     n_pixels = w * h
     padded = -(-n_pixels // tile) * tile
@@ -557,11 +715,13 @@ def render_pallas(
     pt_mat = p_mat.T
     cam_vec = jnp.asarray(pack_camera(cam))
     scalars = jnp.asarray([seed, 0, 0, 0], jnp.int32)
+    sf, si = _init_state(0, padded, n_pixels, spp)
 
-    out = _render_pallas_jit(
-        p_mat, pt_mat, cam_vec, scalars, padded, tile, spp, max_depth, interpret
+    rad = _multipass_jit(
+        p_mat, pt_mat, cam_vec, scalars, sf, si,
+        tile, spp, max_depth, budget, n_passes, interpret,
     )
-    img = out[0:3, :n_pixels]  # [3, n_pixels]
+    img = rad[:, :n_pixels]  # [3, n_pixels]
     return jnp.transpose(img).reshape(h, w, 3)
 
 
@@ -574,16 +734,21 @@ def render_pallas_distributed(
     spp: int | None = None,
     max_depth: int | None = None,
     interpret: bool = False,
+    n_passes: int = DEFAULT_PASSES,
+    budget: int | None = None,
 ) -> jnp.ndarray:
     """Mesh-sharded Pallas render -> [H, W, 3].
 
     Pixel axis: each device runs the kernel grid over a contiguous,
-    tile-aligned slab of the flat pixel space (its `pixel_offset` keeps
-    streams keyed by GLOBAL indices, so the image is bit-identical to
-    the single-chip kernel for any mesh). Sample axis: devices render
+    tile-aligned slab of the flat pixel space (lane state carries GLOBAL
+    pixel ids, so streams and geometry are bit-identical to the
+    single-chip kernel for any mesh). Sample axis: devices render
     disjoint slices of the spp budget (`sample_offset`) and psum-mean —
     the automated form of the reference's manual seed-merge workflow
-    (reference: gallery/gpu/image11-source-images/).
+    (reference: gallery/gpu/image11-source-images/). Tail compaction
+    (_multipass) runs device-locally inside shard_map: compaction is a
+    lane permutation within each shard's slab, so no collectives beyond
+    the final pmean.
     """
     from jax.sharding import PartitionSpec as P
 
@@ -606,6 +771,7 @@ def render_pallas_distributed(
             f"'{SAMPLE_AXIS}' mesh axis of size {n_smp_shards}"
         )
     spp_local = spp // n_smp_shards
+    budget = _default_budget(spp_local) if budget is None else budget
 
     w, h = cam.image_width, cam.image_height
     n_pixels = w * h
@@ -628,11 +794,12 @@ def render_pallas_distributed(
                 jnp.int32(0),
             ]
         )
-        out = _render_pallas_core(
-            p_mat, pt_mat, cam_vec, scalars, shard_pixels, tile,
-            spp_local, max_depth, interpret,
-        )  # [4, shard_pixels]
-        return jax.lax.pmean(out, SAMPLE_AXIS)
+        sf, si = _init_state(offset[0, 0], shard_pixels, n_pixels, spp_local)
+        rad = _multipass(
+            p_mat, pt_mat, cam_vec, scalars, sf, si,
+            tile, spp_local, max_depth, budget, n_passes, interpret,
+        )  # [3, shard_pixels], local-pixel order
+        return jax.lax.pmean(rad, SAMPLE_AXIS)
 
     out = jax.shard_map(
         shard_fn,
@@ -640,7 +807,7 @@ def render_pallas_distributed(
         in_specs=(P(), P(), P(), P(PIXEL_AXIS, None)),
         out_specs=P(None, PIXEL_AXIS),
         check_vma=False,
-    )(p_mat, pt_mat, cam_vec, offsets)  # [4, padded]
+    )(p_mat, pt_mat, cam_vec, offsets)  # [3, padded]
 
-    img = out[0:3, :n_pixels]
+    img = out[:, :n_pixels]
     return jnp.transpose(img).reshape(h, w, 3)

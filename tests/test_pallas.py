@@ -107,6 +107,24 @@ def test_tile_layout_invariance():
     np.testing.assert_allclose(a, b, atol=1e-6)
 
 
+def test_tail_compaction_bit_identical():
+    """The budgeted/compacted schedule only reorders lane work; radiance
+    per (pixel, sample) is keyed by global ids, so any (n_passes, budget)
+    gives the bit-identical image."""
+    sc = scene_lib.three_sphere_scene(pad_to=128)
+    cam = _cam(width=32, spp=8, lookfrom=(0.0, 0.0, 0.5), focus_dist=1.5)
+    base = np.asarray(
+        render_pallas(sc, cam, seed=0, tile=128, interpret=True, n_passes=1)
+    )
+    # A tiny budget forces real compaction work across all passes.
+    compacted = np.asarray(
+        render_pallas(
+            sc, cam, seed=0, tile=128, interpret=True, n_passes=4, budget=3
+        )
+    )
+    np.testing.assert_array_equal(base, compacted)
+
+
 def test_defocus_blur_pallas():
     sc = scene_lib.single_sphere_scene(pad_to=128)
     sharp_cam = _cam(width=32, spp=64, defocus_angle_degrees=0.0, focus_dist=1.0)
