@@ -38,6 +38,17 @@ the pure-jnp path — the two paths agree statistically (same sampling
 distributions, documented in ops/sampling.py), not bitwise. The jnp path
 remains the parity oracle vs the reference; the kernel is validated
 against it at moderate spp (tests/test_pallas.py).
+
+STREAM-WIDTH NOTE: each (pixel, sample) carries a 64-bit stream state
+(two uint32 words, `lo`/`hi`, both PCG-mixed from the global pixel and
+sample indices; every draw re-keys on both words plus the draw counter).
+With a single 32-bit stream word, birthday collisions make two samples
+share an entire random sequence with probability ~ n^2 / 2^33: at the
+reference GPU preset's 1.04e9 samples (1920x1080x500spp,
+reference: src/gpu/camera.h:58-62) that is ~6e7 colliding pairs — ~11%
+of samples duplicating another sample's whole path, visibly biasing
+variance-convergence. With 64 bits of stream state the same workload
+expects ~3e-2 colliding pairs (n^2 / 2^65) — none in practice.
 """
 
 from __future__ import annotations
@@ -74,12 +85,13 @@ P_ROWS = 16  # a multiple of 8 sublanes
 # persistent-sample loop). Float block rows: ray origin, unit direction,
 # running attenuation, radiance accumulated so far (sum over this lane's
 # retired samples), while-loop trip count (diagnostics, out only). Int
-# block rows: global pixel id, samples started, RNG stream (bit-pattern),
-# bounce depth of the live ray, busy flag.
+# block rows: global pixel id, samples started, RNG stream low word,
+# bounce depth of the live ray, busy flag, RNG stream high word (the two
+# stream words make a 64-bit-equivalent state — see module docstring).
 _SF_O, _SF_D, _SF_ATT, _SF_RAD = 0, 3, 6, 9
 _SF_ITERS = 12
 SF_ROWS = 16  # 13 used, padded to sublane multiple
-_SI_PIX, _SI_STARTED, _SI_STREAM, _SI_DEPTH, _SI_BUSY = range(5)
+_SI_PIX, _SI_STARTED, _SI_STREAM, _SI_DEPTH, _SI_BUSY, _SI_STREAM2 = range(6)
 SI_ROWS = 8
 
 # Camera scalar vector layout (SMEM).
@@ -151,6 +163,7 @@ def pack_camera(cam: Camera) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 _GOLDEN = np.uint32(0x9E3779B9)
+_GOLDEN2 = np.uint32(0x85EBCA6B)  # murmur3 fmix constant; independent of _GOLDEN
 
 
 def _pcg(x):
@@ -171,13 +184,18 @@ def _to_unit_float(bits):
 
 
 def _u01(stream, counter):
-    """One U(0,1) per lane from a per-ray stream [1,T] and a static or
-    traced draw counter."""
+    """One U(0,1) per lane from a per-ray 64-bit stream (lo, hi) pair of
+    [1,T] uint32 rows and a static or traced draw counter.
+
+    Two mixing rounds: pcg(lo ^ ctr) decorrelates the counter within a
+    stream; the second round keys on `hi`, so two samples only share a
+    sequence if BOTH stream words collide (~2^-64 per pair)."""
+    lo, hi = stream
     if isinstance(counter, int):
         c = np.uint32((counter * 0x9E3779B9) & 0xFFFFFFFF)
     else:
         c = counter.astype(jnp.uint32) * _GOLDEN
-    return _to_unit_float(_pcg(stream ^ c))
+    return _to_unit_float(_pcg(_pcg(lo ^ c) + hi))
 
 
 def _unit_vectors(stream, counter):
@@ -393,14 +411,17 @@ def _render_kernel(
         return new_dir, atten, ok
 
     def camera_ray(s_local):
-        """Camera ray + RNG stream for per-lane LOCAL sample index
-        `s_local` [1,T] i32 (reference: src/gpu/camera.h:140-167).
-
-        Stream/draw-counter scheme is identical per (pixel, global
-        sample) to the pre-persistent kernel, so images are unchanged.
+        """Camera ray + 64-bit RNG stream (lo, hi) for per-lane LOCAL
+        sample index `s_local` [1,T] i32
+        (reference: src/gpu/camera.h:140-167). Both stream words mix the
+        global pixel hash h0 with the GLOBAL sample index, so streams are
+        invariant to pass/mesh/compaction layout.
         """
         s_global = s_local + seed_ref[2]
-        stream = _pcg(h0 ^ (s_global.astype(jnp.uint32) * _GOLDEN))
+        s_u = s_global.astype(jnp.uint32)
+        lo = _pcg(h0 ^ (s_u * _GOLDEN))
+        hi = _pcg((h0 + s_u) * _GOLDEN2)
+        stream = (lo, hi)
         jx = _u01(stream, 0) - 0.5
         jy = _u01(stream, 1) - 0.5
         sample_pos = (
@@ -417,7 +438,7 @@ def _render_kernel(
         # Unit direction: closest_hit assumes |d| = 1 (t becomes true
         # distance; the reference's t is in |d| units, same geometry).
         d = _normalize3(sample_pos - o)
-        return o, d, stream
+        return o, d, lo, hi
 
     # ---- persistent-sample loop, budgeted & resumable -----------------
     # The CUDA kernel loops samples-outer / bounces-inner per thread
@@ -440,7 +461,8 @@ def _render_kernel(
     #   the current sample; depth [1,T] i32: scatters so far this sample;
     #   busy [1,T] f32: lane has a live ray.
     started = si_ref[_SI_STARTED : _SI_STARTED + 1, :]
-    stream = si_ref[_SI_STREAM : _SI_STREAM + 1, :].astype(jnp.uint32)
+    stream_lo = si_ref[_SI_STREAM : _SI_STREAM + 1, :].astype(jnp.uint32)
+    stream_hi = si_ref[_SI_STREAM2 : _SI_STREAM2 + 1, :].astype(jnp.uint32)
     depth = si_ref[_SI_DEPTH : _SI_DEPTH + 1, :]
     busy0 = si_ref[_SI_BUSY : _SI_BUSY + 1, :] > 0
     o = sf_ref[_SF_O : _SF_O + 3, :]
@@ -454,9 +476,10 @@ def _render_kernel(
     # it is only lanes the budget stopped between samples. After this,
     # `started < spp` implies busy, so the loop cond tests busy alone.
     can_start = (~busy0) & (started < spp)
-    o0, d0, stream0 = camera_ray(started)
+    o0, d0, lo0, hi0 = camera_ray(started)
     started = started + can_start.astype(jnp.int32)
-    stream = jnp.where(can_start, stream0, stream)
+    stream_lo = jnp.where(can_start, lo0, stream_lo)
+    stream_hi = jnp.where(can_start, hi0, stream_hi)
     depth = jnp.where(can_start, 0, depth)
     atten = jnp.where(can_start, 1.0, atten)
     o = jnp.where(can_start, o0, o)
@@ -466,7 +489,8 @@ def _render_kernel(
     state = (
         jnp.int32(0),  # iteration counter
         started,
-        stream,
+        stream_lo,
+        stream_hi,
         depth,
         busy0.astype(jnp.float32),
         o,
@@ -476,11 +500,13 @@ def _render_kernel(
     )
 
     def cond(state):
-        iters, _started, _stream, _depth, busy_f, *_ = state
+        iters = state[0]
+        busy_f = state[5]
         return (iters < budget) & (jnp.max(busy_f) > 0.0)
 
     def body(state):
-        iters, started, stream, depth, busy_f, o, d, atten, rad = state
+        iters, started, stream_lo, stream_hi, depth, busy_f, o, d, atten, rad = state
+        stream = (stream_lo, stream_hi)
         busy = busy_f > 0.0
 
         t_best, params = closest_hit(o, d)
@@ -500,11 +526,16 @@ def _render_kernel(
         miss = busy & ~hit
         rad = rad + jnp.where(miss, atten * sky, 0.0)
 
-        # hit geometry
+        # hit geometry. The SIGNED radius divides the normal, exactly as
+        # the reference's (p - c) / radius (reference: src/gpu/sphere.h:
+        # 40-42): a negative radius flips the outward normal inward — the
+        # book's hollow-glass-sphere trick. Miss lanes gather params = 0;
+        # the where keeps their inv_r finite (results masked anyway).
         center_h = params[_CX : _CZ + 1]  # [3, T]
         t_safe = jnp.where(hit, t_best, 1.0)
         p = o + t_safe * d
-        inv_r = 1.0 / jnp.maximum(params[_R : _R + 1], 1e-8)
+        r_signed = params[_R : _R + 1]
+        inv_r = 1.0 / jnp.where(jnp.abs(r_signed) > 1e-8, r_signed, 1.0)
         outward = (p - center_h) * inv_r
         front_face = _dot3(d, outward) < 0.0
         n_vec = jnp.where(front_face, outward, -outward)
@@ -521,19 +552,21 @@ def _render_kernel(
         # Retired lanes with samples left start their next sample NOW.
         retired = busy & ~cont
         regen = retired & (started < spp)
-        o2, d2, stream2 = camera_ray(started)
+        o2, d2, lo2, hi2 = camera_ray(started)
         started = started + regen.astype(jnp.int32)
-        stream = jnp.where(regen, stream2, stream)
+        stream_lo = jnp.where(regen, lo2, stream_lo)
+        stream_hi = jnp.where(regen, hi2, stream_hi)
         depth = jnp.where(regen, 0, depth)
         atten = jnp.where(regen, 1.0, atten)
         o = jnp.where(regen, o2, o)
         d = jnp.where(regen, d2, d)
         busy = cont | regen
-        return (iters + 1, started, stream, depth,
+        return (iters + 1, started, stream_lo, stream_hi, depth,
                 busy.astype(jnp.float32), o, d, atten, rad)
 
     state = jax.lax.while_loop(cond, body, state)
-    iters, started, stream, depth, busy_f, o, d, atten, rad = state
+    (iters, started, stream_lo, stream_hi, depth, busy_f,
+     o, d, atten, rad) = state
 
     # Raw lane state out — the resume/compaction contract. Radiance rides
     # in the state (raw sum over this lane's retired samples across ALL
@@ -553,11 +586,12 @@ def _render_kernel(
     )
     oi_ref[_SI_PIX : _SI_PIX + 1, :] = pix
     oi_ref[_SI_STARTED : _SI_STARTED + 1, :] = started
-    oi_ref[_SI_STREAM : _SI_STREAM + 1, :] = stream.astype(jnp.int32)
+    oi_ref[_SI_STREAM : _SI_STREAM + 1, :] = stream_lo.astype(jnp.int32)
     oi_ref[_SI_DEPTH : _SI_DEPTH + 1, :] = depth
     oi_ref[_SI_BUSY : _SI_BUSY + 1, :] = busy_f.astype(jnp.int32)
-    oi_ref[_SI_BUSY + 1 : SI_ROWS, :] = jnp.zeros(
-        (SI_ROWS - _SI_BUSY - 1, tile), jnp.int32
+    oi_ref[_SI_STREAM2 : _SI_STREAM2 + 1, :] = stream_hi.astype(jnp.int32)
+    oi_ref[_SI_STREAM2 + 1 : SI_ROWS, :] = jnp.zeros(
+        (SI_ROWS - _SI_STREAM2 - 1, tile), jnp.int32
     )
 
 

@@ -50,6 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lookat", type=float, nargs=3, default=None, metavar=("X", "Y", "Z"))
     p.add_argument("--vup", type=float, nargs=3, default=None, metavar=("X", "Y", "Z"))
     p.add_argument("--defocus-angle", type=float, default=None, help="defocus cone angle, degrees (0 = pinhole)")
+    p.add_argument("--aperture", type=float, default=None,
+                   help="CPU-tree lens aperture (overrides --defocus-angle)")
     p.add_argument("--focus-dist", type=float, default=None)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--scene", choices=("cover", "three", "single"), default=None)
@@ -86,6 +88,7 @@ def config_from_args(args) -> RenderConfig:
         "lookat": "lookat",
         "vup": "vup",
         "defocus_angle": "defocus_angle_degrees",
+        "aperture": "aperture",
         "focus_dist": "focus_dist",
         "seed": "seed",
         "scene": "scene",

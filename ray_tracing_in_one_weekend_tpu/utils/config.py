@@ -31,6 +31,10 @@ class RenderConfig:
     vup: Tuple[float, float, float] = (0.0, 1.0, 0.0)
     defocus_angle_degrees: float = 0.6
     focus_dist: float = 10.0
+    # CPU-tree lens parameterization (lens_radius = aperture/2,
+    # reference: src/cpu/camera.h:20-26). When set, takes precedence
+    # over defocus_angle_degrees (models/camera.make_camera).
+    aperture: float | None = None
 
     # Execution (replaces thread/block geometry,
     # reference: src/gpu/main.cu:113-114; src/cpu-multi-threading/main.cc:105)
@@ -52,10 +56,14 @@ class RenderConfig:
 
 # The four reference variants' hard-coded workloads (BASELINE.md table).
 PRESETS = {
-    # reference: src/cpu/main.cc:82-99 (aperture 0.1 -> defocus_angle ~=
-    # 2*atan(0.05/10) = 0.573 deg; the CPU tree parameterizes the lens by
-    # aperture, the GPU tree by defocus angle — we use the GPU form).
-    "cpu": RenderConfig(image_width=1200, aspect_ratio=3.0 / 2.0, samples_per_pixel=500),
+    # reference: src/cpu/main.cc:82-99. The CPU tree parameterizes the
+    # lens by aperture 0.1 (not the GPU tree's defocus angle); passing it
+    # through reproduces the CPU framing exactly
+    # (equivalent defocus_angle = 2*atan(0.05/10) = 0.573 deg).
+    "cpu": RenderConfig(
+        image_width=1200, aspect_ratio=3.0 / 2.0, samples_per_pixel=500,
+        aperture=0.1,
+    ),
     # reference: src/cpu-multi-threading/main.cc:84-88
     "cpu-mt": RenderConfig(image_width=3840, aspect_ratio=16.0 / 9.0, samples_per_pixel=500),
     # reference: src/gpu/camera.h:58-71
@@ -81,6 +89,7 @@ def make_camera_from_config(config: RenderConfig):
         vup=config.vup,
         defocus_angle_degrees=config.defocus_angle_degrees,
         focus_dist=config.focus_dist,
+        aperture=config.aperture,
     )
 
 

@@ -27,7 +27,8 @@ def _cam(width=32, spp=8, **kw):
     kw.setdefault("vfov_degrees", 90.0)
     kw.setdefault("defocus_angle_degrees", 0.0)
     kw.setdefault("focus_dist", 1.0)
-    return make_camera(image_width=width, samples_per_pixel=spp, max_depth=6, **kw)
+    kw.setdefault("max_depth", 6)
+    return make_camera(image_width=width, samples_per_pixel=spp, **kw)
 
 
 def test_pack_scene_layout():
@@ -123,6 +124,31 @@ def test_tail_compaction_bit_identical():
         )
     )
     np.testing.assert_array_equal(base, compacted)
+
+
+def test_hollow_glass_negative_radius_parity():
+    """The book's hollow-glass trick: a dielectric sphere with NEGATIVE
+    radius nested inside a positive one flips the outward normal inward
+    via (p - c) / radius (reference: src/gpu/sphere.h:40-42). The kernel
+    must honour the radius sign like the jnp path does."""
+    sc = scene_lib.from_spheres(
+        centers=[[0, -100.5, -1], [0, 0, -1], [0, 0, -1], [-1, 0, -1], [1, 0, -1]],
+        radii=[100.0, 0.5, -0.45, 0.5, 0.5],
+        mat_types=[0, 2, 2, 0, 1],
+        albedos=[[0.8, 0.8, 0.0], [1, 1, 1], [1, 1, 1], [0.1, 0.2, 0.5], [0.8, 0.6, 0.2]],
+        pad_to=128,
+    )
+    cam = _cam(width=32, spp=24, max_depth=16)
+    img_p = np.asarray(render_pallas(sc, cam, seed=0, tile=256, interpret=True))
+    img_j = np.asarray(render(sc, cam, KEY, chunk_size=512))
+    assert np.isfinite(img_p).all()
+    np.testing.assert_allclose(
+        img_p.mean(axis=(0, 1)), img_j.mean(axis=(0, 1)), atol=0.015
+    )
+    # The hollow shell must actually transmit: the sphere's silhouette
+    # region is not black (a broken inward normal absorbs/darkens it).
+    h, w = img_p.shape[:2]
+    assert img_p[h // 2, w // 2].mean() > 0.1
 
 
 def test_defocus_blur_pallas():
