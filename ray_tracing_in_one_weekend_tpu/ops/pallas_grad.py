@@ -1,0 +1,499 @@
+"""Differentiable fast path: scene-parameter gradients at Pallas speed.
+
+The reference renderer has no gradients at all; BASELINE.json's
+north-star asks for a differentiable TPU formulation of the reference's
+iterative integrator (reference: src/gpu/camera.h:112-138) whose
+forward AND backward both run as compiled TPU kernels, not through the
+~20x-slower pure-jnp autodiff path.
+
+Design — `jax.custom_vjp` around the scene parameter matrix:
+
+* **primal / fwd** — exactly `ops/pallas_render._multipass`, the
+  budgeted persistent-sample forward kernel. Rendering without
+  gradients costs nothing extra, and the primal VALUE of the
+  differentiable entry is bit-identical to `render_pallas`.
+* **bwd** — one new Pallas kernel (`_bwd_kernel`) that REPLAYS every
+  (pixel, sample) path and differentiates it:
+
+  - Phase A (replay): lanes are (pixel, sample) pairs, one sample per
+    lane (grid = (spp, pixel_blocks)). Because every random draw is a
+    pure function of the GLOBAL (pixel, sample, bounce, draw) tuple
+    (ops/pallas_render module docstring), re-running the same shared
+    building blocks (`_sweep_ts`, `_select_hit`, `_scatter_block`,
+    `_camera_ray_block`) regenerates the forward pass's paths
+    bit-identically — the recompute-instead-of-store answer to the
+    fact that storing per-bounce residuals for 1e9 samples would need
+    ~terabytes. Per bounce, the PRE-bounce lane state
+    (o, d, attenuation) plus the winning sphere index are appended to
+    a VMEM scratch trajectory buffer.
+  - Phase B (backward sweep): walk the trajectory in reverse carrying
+    adjoints (o_bar, d_bar, att_bar) [3,T]. Each step re-expresses the
+    bounce as a pure function F(o, d, att, gathered_params) ->
+    (o', d', att', radiance_term) — the same arithmetic as the forward
+    hot loop, with the DISCRETE decisions (hit selection, material
+    branch, reflect/refract, early retirement) frozen to the replayed
+    trajectory, i.e. the standard Monte-Carlo-discrete gradient
+    semantics of the jnp path (ops/materials.py docstring) — and pulls
+    the adjoints back with `jax.vjp` ON THE KERNEL'S OWN TRACE (Pallas
+    kernels are traced JAX programs, so reverse-mode works inside
+    them). Parameter cotangents are scattered into the [16, N] scene
+    gradient with a one-hot MXU matmul — the transpose of the forward
+    gather — and accumulated across grid steps in the revisited output
+    block.
+
+Gradients flow to every continuous scene parameter (center, radius,
+albedo, fuzz, ior) through the packed matrix rows (including the fused
+-2c / |c|^2 - r^2 rows, whose chain rule back to center/radius is
+handled by autodiff through `pack_scene`). The camera is treated as
+non-differentiable (zero cotangent), matching the jnp path's
+`parallel/dist.py DIFF_FIELDS` contract.
+
+Cost: fwd = the unchanged fast kernel; bwd = one replay (same sweep
+cost as an uncompacted forward) + the adjoint sweep (no sphere sweep —
+gathers by stored index). Measured on-chip by bench.py's
+forward+backward row.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ray_tracing_in_one_weekend_tpu.models.camera import Camera
+from ray_tracing_in_one_weekend_tpu.models.scene import Scene
+from ray_tracing_in_one_weekend_tpu.ops.pallas_render import (
+    CHUNK,
+    DEFAULT_PASSES,
+    DEFAULT_TILE,
+    P_ROWS,
+    T_MIN_EPS,
+    T_MISS,
+    _AB,
+    _AR,
+    _CSQR2,
+    _CX,
+    _CY,
+    _CZ,
+    _IOR,
+    _M2CX,
+    _M2CY,
+    _M2CZ,
+    _MAT,
+    _R,
+    _camera_ray_block,
+    _default_budget,
+    _dot3,
+    _init_state,
+    _multipass,
+    _pcg,
+    _scatter_block,
+    _select_hit,
+    _sweep_ts,
+    _unpack_cam,
+    pack_camera,
+    pack_scene,
+)
+
+# Trajectory scratch layout: one 16-sublane slab per bounce.
+# Rows 0:3 = ray origin, 3:6 = unit direction, 6:9 = attenuation (all
+# PRE-bounce), row 9 = event code as f32: -1 lane idle, 0 miss->sky,
+# -2 terminal hit (absorbed / depth exhausted), i+1 = continued off
+# sphere i. Rows 10:16 pad to the sublane tile.
+_TRAJ_ROWS = 16
+_DEFAULT_BWD_TILE = 512
+
+
+def _bwd_kernel(
+    scalars_ref,  # SMEM [4] i32: seed, pixel_offset, sample_offset, n_pixels
+    cam_ref,  # SMEM [CAM_LEN] f32
+    p_ref,  # VMEM [16, N]
+    pt_ref,  # VMEM [N, 16]
+    g_ref,  # VMEM [3, TILE] per-lane radiance cotangent (image cotangent / spp)
+    grads_ref,  # VMEM [16, N] out — parameter-matrix cotangent, accumulated
+    traj_ref,  # VMEM scratch [max_depth * 16, TILE] f32
+    *,
+    tile: int,
+    n_spheres: int,
+    max_depth: int,
+):
+    camc = _unpack_cam(cam_ref)
+    width = camc[-1]
+    n_chunks = n_spheres // CHUNK
+    s = pl.program_id(0)  # sample index
+    j = pl.program_id(1)  # pixel block
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+    pix = scalars_ref[1] + j * tile + lane  # [1, T] global pixel ids
+    valid = pix < scalars_ref[3]
+    px = (pix % width).astype(jnp.float32)
+    py = (pix // width).astype(jnp.float32)
+
+    # Identical stream derivation to the forward kernel: h0 from the
+    # global pixel id, the 64-bit (lo, hi) stream from the GLOBAL sample
+    # index (reference: src/gpu/camera.h:186-187's curand streams).
+    h0 = _pcg(pix.astype(jnp.uint32) ^ _pcg(scalars_ref[0].astype(jnp.uint32)))
+    s_global = jnp.full((1, tile), s, jnp.int32) + scalars_ref[2]
+    o0, d0, lo, hi = _camera_ray_block(camc, h0, px, py, s_global, tile)
+    stream = (lo, hi)
+
+    iota_n1 = jax.lax.broadcasted_iota(jnp.float32, (2, n_spheres), 1)
+    idx_mass_rows = jnp.concatenate(
+        [iota_n1[0:1], jnp.ones((1, n_spheres), jnp.float32)], axis=0
+    )  # [2, N]: sphere index row + tie-mass row
+
+    # ---- Phase A: replay, recording the trajectory -----------------------
+    def cond(state):
+        k, busy_f, o, d, att = state
+        return (k < max_depth) & (jnp.max(busy_f) > 0.0)
+
+    def body(state):
+        k, busy_f, o, d, att = state
+        busy = busy_f > 0.0
+
+        t_cs = _sweep_ts(o, d, pt_ref, n_chunks)
+        t_best, params, onehot = _select_hit(p_ref, t_cs)
+        hit = t_best < (T_MISS * 0.5)
+
+        # Winning sphere index via the same one-hot, tie-normalized.
+        g2 = jax.lax.dot_general(
+            idx_mass_rows,
+            onehot.astype(jnp.float32),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [2, T]
+        idx_f = g2[0:1] / jnp.maximum(g2[1:2], 1.0)
+
+        # Geometry + scatter: the forward kernel's expressions verbatim.
+        center_h = params[_CX : _CZ + 1]
+        t_safe = jnp.where(hit, t_best, 1.0)
+        p = o + t_safe * d
+        r_signed = params[_R : _R + 1]
+        inv_r = 1.0 / jnp.where(jnp.abs(r_signed) > 1e-8, r_signed, 1.0)
+        outward = (p - center_h) * inv_r
+        front_face = _dot3(d, outward) < 0.0
+        n_vec = jnp.where(front_face, outward, -outward)
+
+        ctr = (8 + k * 16).astype(jnp.uint32)
+        new_dir, mat_atten, ok = _scatter_block(
+            d, n_vec, front_face, params, stream, ctr
+        )
+
+        cont = busy & hit & ok & ((k + 1) < max_depth)
+        miss = busy & ~hit
+        code = jnp.where(
+            busy,
+            jnp.where(miss, 0.0, jnp.where(cont, idx_f + 1.0, -2.0)),
+            -1.0,
+        )
+
+        # Record PRE-bounce state + event code as one 16-row slab.
+        slab = jnp.concatenate(
+            [o, d, att, code, jnp.zeros((_TRAJ_ROWS - 10, tile), jnp.float32)],
+            axis=0,
+        )
+        traj_ref[pl.ds(k * _TRAJ_ROWS, _TRAJ_ROWS), :] = slab
+
+        att = jnp.where(cont, att * mat_atten, att)
+        o = jnp.where(cont, p, o)
+        d = jnp.where(cont, new_dir, d)
+        return k + 1, cont.astype(jnp.float32), o, d, att
+
+    kmax, _, _, _, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            jnp.int32(0),
+            valid.astype(jnp.float32),
+            o0,
+            d0,
+            jnp.ones((3, tile), jnp.float32),
+        ),
+    )
+
+    # ---- Phase B: reverse adjoint sweep ----------------------------------
+    g_lane = jnp.where(valid, g_ref[:, :], 0.0)  # [3, T]
+    iota_nt = jax.lax.broadcasted_iota(jnp.float32, (n_spheres, tile), 0)
+    # Safe parameter column for idle/miss lanes (gathered params are 0
+    # there): radius 1 and ior 1 keep every reciprocal finite so no NaN
+    # can leak into live lanes' adjoints through where-branches.
+    safe_col = (
+        jnp.zeros((P_ROWS, 1), jnp.float32)
+        .at[_R].set(1.0)
+        .at[_IOR].set(1.0)
+    )
+
+    def back_body(jj, carry):
+        obar, dbar, attbar, gacc = carry
+        k = kmax - 1 - jj
+        slab = traj_ref[pl.ds(k * _TRAJ_ROWS, _TRAJ_ROWS), :]
+        o = slab[0:3]
+        d = slab[3:6]
+        att = slab[6:9]
+        code = slab[9:10]
+        cont = code > 0.5
+        miss = jnp.abs(code) < 0.5
+
+        onehot = (iota_nt == (code - 1.0)).astype(jnp.float32)  # [N, T]
+        pcols = jax.lax.dot_general(
+            p_ref[:, :],
+            onehot,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [16, T]
+
+        ctr = (8 + k * 16).astype(jnp.uint32)
+
+        def F(o, d, att, pcols):
+            """One bounce as a pure function of the continuous inputs,
+            discrete decisions frozen to the replayed trajectory. The
+            arithmetic below repeats the forward hot loop exactly, so
+            the primal values (and therefore every frozen comparison)
+            match the forward pass bit for bit."""
+            pc = jnp.where(cont, pcols, safe_col)
+            o_dot_d = _dot3(o, d)
+            o_sq = _dot3(o, o)
+            d_dot_c = (
+                pc[_CX : _CX + 1] * d[0:1]
+                + pc[_CY : _CY + 1] * d[1:2]
+                + pc[_CZ : _CZ + 1] * d[2:3]
+            )
+            cc_part = (
+                pc[_CSQR2 : _CSQR2 + 1]
+                + pc[_M2CX : _M2CX + 1] * o[0:1]
+                + pc[_M2CY : _M2CY + 1] * o[1:2]
+                + pc[_M2CZ : _M2CZ + 1] * o[2:3]
+            )
+            half_b = o_dot_d - d_dot_c
+            cc = o_sq + cc_part
+            disc = half_b * half_b - cc
+            # Double-where: dead lanes see disc=1 so the sqrt pullback
+            # (g / 2 sqrt(disc)) never produces inf * 0 = NaN.
+            disc = jnp.where(cont, disc, 1.0)
+            sqrt_d = jnp.sqrt(jnp.maximum(disc, 0.0))
+            root_near = -half_b - sqrt_d
+            root_far = -half_b + sqrt_d
+            t = jnp.where(root_near > T_MIN_EPS, root_near, root_far)
+            t_safe = jnp.where(cont, t, 1.0)
+            p = o + t_safe * d
+
+            center_h = pc[_CX : _CZ + 1]
+            r_signed = pc[_R : _R + 1]
+            inv_r = 1.0 / jnp.where(jnp.abs(r_signed) > 1e-8, r_signed, 1.0)
+            outward = (p - center_h) * inv_r
+            front_face = _dot3(d, outward) < 0.0
+            n_vec = jnp.where(front_face, outward, -outward)
+
+            new_dir, mat_atten, _ok = _scatter_block(
+                d, n_vec, front_face, pc, stream, ctr
+            )
+
+            o2 = jnp.where(cont, p, o)
+            d2 = jnp.where(cont, new_dir, d)
+            att2 = jnp.where(cont, att * mat_atten, att)
+
+            # Miss -> sky termination (reference: src/gpu/camera.h:118-124).
+            sky_a = 0.5 * (d[1:2] + 1.0)
+            sky = jnp.concatenate(
+                [
+                    (1.0 - sky_a) + sky_a * 0.5,
+                    (1.0 - sky_a) + sky_a * 0.7,
+                    (1.0 - sky_a) + sky_a * 1.0,
+                ],
+                axis=0,
+            )
+            radd = jnp.where(miss, att * sky, 0.0)
+            return o2, d2, att2, radd
+
+        _, pullback = jax.vjp(F, o, d, att, pcols)
+        obar, dbar, attbar, pbar = pullback((obar, dbar, attbar, g_lane))
+
+        # Transposed gather: scatter this bounce's parameter cotangent
+        # into the per-sphere gradient matrix on the MXU.
+        gacc = gacc + jax.lax.dot_general(
+            pbar,
+            onehot,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [16, N]
+        return obar, dbar, attbar, gacc
+
+    zeros3 = jnp.zeros((3, tile), jnp.float32)
+    gacc0 = jnp.zeros((P_ROWS, n_spheres), jnp.float32)
+    _, _, _, gacc = jax.lax.fori_loop(
+        0, kmax, back_body, (zeros3, zeros3, zeros3, gacc0)
+    )
+
+    first = (s == 0) & (j == 0)
+
+    @pl.when(first)
+    def _():
+        grads_ref[:, :] = gacc
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        grads_ref[:, :] = grads_ref[:, :] + gacc
+
+
+def _pallas_bwd(
+    p_mat, pt_mat, cam_vec, scalars, g_lanes, *, tile, spp, max_depth, interpret
+):
+    """Launch the backward kernel. `g_lanes` [3, padded] is the per-lane
+    radiance cotangent (image cotangent already divided by spp, padded
+    with zeros). Returns the parameter-matrix cotangent [16, N]."""
+    n_spheres = p_mat.shape[1]
+    padded = g_lanes.shape[1]
+    grid = (spp, padded // tile)
+    kernel = functools.partial(
+        _bwd_kernel, tile=tile, n_spheres=n_spheres, max_depth=max_depth
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((P_ROWS, n_spheres), lambda s, j, *_: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_spheres, P_ROWS), lambda s, j, *_: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, tile), lambda s, j, *_: (0, j), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (P_ROWS, n_spheres), lambda s, j, *_: (0, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((max_depth * _TRAJ_ROWS, tile), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((P_ROWS, n_spheres), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(scalars, cam_vec, p_mat, pt_mat, g_lanes)
+
+
+class _DiffCfg(NamedTuple):
+    """Hashable static config for the custom_vjp pair."""
+
+    width: int
+    height: int
+    spp: int
+    max_depth: int
+    seed: int
+    sample_offset: int
+    tile: int
+    n_passes: int
+    budget: int
+    bwd_tile: int
+    interpret: bool
+
+
+def _primal_flat(cfg: _DiffCfg, p_mat, cam_vec):
+    """Fast forward (ops/pallas_render._multipass) -> [3, n_pixels]."""
+    n_pixels = cfg.width * cfg.height
+    padded = -(-n_pixels // cfg.tile) * cfg.tile
+    scalars = jnp.asarray([cfg.seed, 0, cfg.sample_offset, 0], jnp.int32)
+    sf, si = _init_state(0, padded, n_pixels, cfg.spp)
+    rad = _multipass(
+        p_mat, p_mat.T, cam_vec, scalars, sf, si,
+        cfg.tile, cfg.spp, cfg.max_depth, cfg.budget, cfg.n_passes,
+        cfg.interpret,
+    )
+    return rad[:, :n_pixels]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _diff_render_flat(cfg: _DiffCfg, p_mat, cam_vec):
+    return _primal_flat(cfg, p_mat, cam_vec)
+
+
+def _diff_fwd(cfg, p_mat, cam_vec):
+    return _primal_flat(cfg, p_mat, cam_vec), (p_mat, cam_vec)
+
+
+def _diff_bwd(cfg, residuals, gbar):
+    p_mat, cam_vec = residuals
+    n_pixels = cfg.width * cfg.height
+    padded = -(-n_pixels // cfg.bwd_tile) * cfg.bwd_tile
+    # The image is the per-pixel MEAN over spp samples: each sample's
+    # radiance cotangent is the pixel cotangent / spp.
+    g = jnp.zeros((3, padded), jnp.float32).at[:, :n_pixels].set(gbar / cfg.spp)
+    scalars = jnp.asarray(
+        [cfg.seed, 0, cfg.sample_offset, n_pixels], jnp.int32
+    )
+    grads = _pallas_bwd(
+        p_mat, p_mat.T, cam_vec, scalars, g,
+        tile=cfg.bwd_tile, spp=cfg.spp, max_depth=cfg.max_depth,
+        interpret=cfg.interpret,
+    )
+    return grads, jnp.zeros_like(cam_vec)
+
+
+_diff_render_flat.defvjp(_diff_fwd, _diff_bwd)
+
+
+def render_pallas_diff(
+    scene: Scene,
+    cam: Camera,
+    seed: int = 0,
+    spp: int | None = None,
+    max_depth: int | None = None,
+    tile: int = DEFAULT_TILE,
+    bwd_tile: int = _DEFAULT_BWD_TILE,
+    interpret: bool = False,
+    n_passes: int = DEFAULT_PASSES,
+    budget: int | None = None,
+    sample_offset: int = 0,
+) -> jnp.ndarray:
+    """Differentiable Pallas render -> [H, W, 3] linear framebuffer.
+
+    The VALUE is bit-identical to `render_pallas` (same forward kernel).
+    Under `jax.grad`, scene-parameter gradients run through the Pallas
+    backward kernel instead of jnp autodiff. Camera parameters receive
+    zero gradient (same contract as parallel/dist.DIFF_FIELDS).
+    """
+    spp = cam.samples_per_pixel if spp is None else spp
+    max_depth = cam.max_depth if max_depth is None else max_depth
+    budget = _default_budget(spp) if budget is None else budget
+    cfg = _DiffCfg(
+        width=cam.image_width,
+        height=cam.image_height,
+        spp=spp,
+        max_depth=max_depth,
+        seed=seed,
+        sample_offset=sample_offset,
+        tile=tile,
+        n_passes=n_passes,
+        budget=budget,
+        bwd_tile=bwd_tile,
+        interpret=interpret,
+    )
+    p_mat = pack_scene(scene)
+    cam_vec = jnp.asarray(pack_camera(cam))
+    rad = _diff_render_flat(cfg, p_mat, cam_vec)  # [3, n_pixels]
+    return jnp.transpose(rad).reshape(cam.image_height, cam.image_width, 3)
+
+
+# Scene leaves that receive gradients (matches parallel/dist.DIFF_FIELDS).
+DIFF_FIELDS = ("center", "radius", "albedo", "fuzz", "ior")
+
+
+def render_loss_pallas(
+    params: dict, scene: Scene, cam: Camera, target: jnp.ndarray, **kw
+) -> jnp.ndarray:
+    """Mean-squared pixel loss of the kernel render against `target`."""
+    img = render_pallas_diff(scene.replace(**params), cam, **kw)
+    return jnp.mean((img - target) ** 2)
+
+
+def render_grads_pallas(
+    params: dict, scene: Scene, cam: Camera, target: jnp.ndarray, **kw
+):
+    """(loss, grads) of the Pallas render w.r.t. scene parameters —
+    the kernel-speed counterpart of parallel/dist.render_grads."""
+    return jax.value_and_grad(render_loss_pallas)(params, scene, cam, target, **kw)

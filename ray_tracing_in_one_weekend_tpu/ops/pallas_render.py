@@ -225,6 +225,207 @@ def _normalize3(v):
 
 
 # ---------------------------------------------------------------------------
+# Shared kernel building blocks. These are module-level (not closures of
+# _render_kernel) because the backward kernel (ops/pallas_grad.py) must
+# REPLAY paths bit-identically: both kernels call the exact same
+# functions, so each (pixel, sample) path takes the same float values and
+# the same discrete decisions in the forward render and in the gradient
+# replay.
+# ---------------------------------------------------------------------------
+
+
+def _unpack_cam(cam_ref):
+    """SMEM camera vector -> tuple of [3,1] column blocks + scalars."""
+    cam_center = jnp.stack([cam_ref[0], cam_ref[1], cam_ref[2]]).reshape(3, 1)
+    pixel00 = jnp.stack([cam_ref[3], cam_ref[4], cam_ref[5]]).reshape(3, 1)
+    delta_u = jnp.stack([cam_ref[6], cam_ref[7], cam_ref[8]]).reshape(3, 1)
+    delta_v = jnp.stack([cam_ref[9], cam_ref[10], cam_ref[11]]).reshape(3, 1)
+    disk_u = jnp.stack([cam_ref[12], cam_ref[13], cam_ref[14]]).reshape(3, 1)
+    disk_v = jnp.stack([cam_ref[15], cam_ref[16], cam_ref[17]]).reshape(3, 1)
+    defocus_on = cam_ref[18] > 0.0
+    width = cam_ref[19].astype(jnp.int32)
+    return (cam_center, pixel00, delta_u, delta_v, disk_u, disk_v,
+            defocus_on, width)
+
+
+def _sweep_ts(o, d, pt_ref, n_chunks):
+    """Candidate nearest-root t for every (sphere, ray) pair, as a list of
+    [CHUNK, T] slabs (see _render_kernel docstring for the chunk-sweep
+    rationale). `d` MUST be unit length (a = 1, so the quadratic is
+    t^2 + 2*half_b*t + cc with roots -half_b -+ sqrt(disc))."""
+    o_dot_d = _dot3(o, d)
+    o_sq = _dot3(o, o)
+
+    t_cs = []
+    for c in range(n_chunks):
+        base = c * CHUNK
+        # Cross terms for all (sphere, ray) pairs as broadcast
+        # outer-products on the VPU: a K=3 dot_general wastes a full
+        # MXU pass per 128x128 output tile (the systolic array is
+        # paid as if K were 128), while [128,1]*[1,T] broadcasts are
+        # plain vector ops — 5-7 of them beat 16 near-empty MXU
+        # passes.
+        cx = pt_ref[pl.ds(base, CHUNK), _CX : _CX + 1]  # [128, 1]
+        cy = pt_ref[pl.ds(base, CHUNK), _CY : _CY + 1]
+        cz = pt_ref[pl.ds(base, CHUNK), _CZ : _CZ + 1]
+        csqr2 = pt_ref[pl.ds(base, CHUNK), _CSQR2 : _CSQR2 + 1]
+        m2cx = pt_ref[pl.ds(base, CHUNK), _M2CX : _M2CX + 1]
+        m2cy = pt_ref[pl.ds(base, CHUNK), _M2CY : _M2CY + 1]
+        m2cz = pt_ref[pl.ds(base, CHUNK), _M2CZ : _M2CZ + 1]
+        d_dot_c = cx * d[0:1] + cy * d[1:2] + cz * d[2:3]  # [128, T]
+        # -2 o.c + |c|^2 - r^2 (the -2c rows fold the scale away)
+        cc_part = csqr2 + m2cx * o[0:1] + m2cy * o[1:2] + m2cz * o[2:3]
+
+        half_b = o_dot_d - d_dot_c  # [128, T]
+        cc = o_sq + cc_part  # [128, T]
+        disc = half_b * half_b - cc
+        sqrt_d = jnp.sqrt(jnp.maximum(disc, 0.0))
+        root_near = -half_b - sqrt_d
+        root_far = -half_b + sqrt_d
+        # Nearest root strictly beyond the shadow-acne epsilon
+        # (reference: src/gpu/hittable_list.h:49-65 — the shrinking
+        # closest_so_far interval becomes the global min below).
+        # When disc <= 0 (no real root — including every padding
+        # slot, which has r^2 = -1 so disc <= -1) both roots
+        # degenerate to -half_b; the explicit disc > 0 term in
+        # `valid` rejects them.
+        t_c = jnp.where(root_near > T_MIN_EPS, root_near, root_far)
+        valid = (disc > 0.0) & (t_c > T_MIN_EPS)
+        t_cs.append(jnp.where(valid, t_c, T_MISS))
+    return t_cs
+
+
+def _select_hit(p_ref, t_cs):
+    """Global closest hit from the chunk slabs.
+
+    Returns (t_best [1,T], params_best [16,T], onehot [N,T]). params rows
+    of retired/miss lanes are garbage (masked by the caller via t_best).
+
+    Structure: the chunk sweep only computes per-sphere candidate ts;
+    the winner is found by ONE cross-sublane min-reduce over the
+    elementwise-min of the chunk slabs, and the winner's params by ONE
+    K=n_spheres one-hot matmul. The earlier fold-as-you-go version paid
+    two cross-sublane reductions (min + tie-mass sum) and a [16,T]
+    select per chunk — on the cover scene (4 chunks) that was ~40% of
+    the hot loop's VPU ops. The tie-normalization mass now rides free in
+    the gathered _ACTIVE row (1.0 for every real sphere, so the one-hot
+    matmul sums it to the tie count).
+    """
+    # Global winner: elementwise-min across chunk slabs, then one
+    # cross-sublane reduce.
+    t_slot = t_cs[0]
+    for t_c in t_cs[1:]:
+        t_slot = jnp.minimum(t_slot, t_c)
+    t_best = jnp.min(t_slot, axis=0, keepdims=True)  # [1, T]
+
+    # One-hot param gather over ALL spheres on the MXU. Miss lanes
+    # (t_best == T_MISS): every t_c row equals T_MISS too, so the
+    # `< T_MISS` guard zeroes the one-hot column -> params 0.
+    onehot = jnp.concatenate(
+        [(t_c <= t_best) & (t_c < T_MISS) for t_c in t_cs], axis=0
+    )  # [N, T]
+    params = jax.lax.dot_general(
+        p_ref[:, :],  # [16, N]
+        onehot.astype(jnp.float32),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [16, T]
+    # Ties (two spheres at exactly equal t) double-count in the
+    # matmul; the gathered _ACTIVE row IS the tie count (1.0 per
+    # real sphere), so renormalizing by it is free of any extra
+    # cross-sublane reduction.
+    mass = params[_ACTIVE : _ACTIVE + 1]
+    params = params / jnp.maximum(mass, 1.0)
+    return t_best, params, onehot
+
+
+def _scatter_block(d, n_vec, front_face, params, stream, ctr):
+    """Branchless 3-material scatter on [3,T]/[1,T] blocks
+    (same semantics as ops/materials.scatter_sampled). `d` is unit;
+    the returned direction is unit (the closest_hit invariant)."""
+    unit_sample = _unit_vectors(stream, ctr)  # [3, T]
+    reflect_u = _u01(stream, ctr + 4)
+
+    unit_in = d
+    mat = params[_MAT : _MAT + 1]  # [1, T]
+    albedo = params[_AR : _AB + 1]  # [3, T]
+    fuzz = params[_FUZZ : _FUZZ + 1]
+    ior = params[_IOR : _IOR + 1]
+
+    # lambertian (reference: src/gpu/material.h:24-36)
+    lam_dir = n_vec + unit_sample
+    degenerate = _dot3(lam_dir, lam_dir) < 1e-16
+    lam_dir = jnp.where(degenerate, n_vec, lam_dir)
+
+    # metal (reference: src/gpu/material.h:47-59)
+    reflected = unit_in - 2.0 * _dot3(unit_in, n_vec) * n_vec
+    metal_dir = reflected + fuzz * unit_sample
+    metal_ok = _dot3(metal_dir, n_vec) > 0.0
+
+    # dielectric (reference: src/gpu/material.h:70-93)
+    ratio = jnp.where(front_face, 1.0 / ior, ior)
+    cos_theta = jnp.minimum(_dot3(-unit_in, n_vec), 1.0)
+    sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
+    cannot_refract = ratio * sin_theta > 1.0
+    r0 = (1.0 - ratio) / (1.0 + ratio)
+    r0 = r0 * r0
+    one_m_cos = 1.0 - cos_theta
+    schlick = r0 + (1.0 - r0) * one_m_cos ** 5
+    must_reflect = cannot_refract | (schlick > reflect_u)
+    r_perp = ratio * (unit_in + cos_theta * n_vec)
+    k = jnp.maximum(1.0 - _dot3(r_perp, r_perp), 0.0)
+    r_par = -jnp.sqrt(k) * n_vec
+    refracted = r_perp + r_par
+    diel_dir = jnp.where(must_reflect, reflected, refracted)
+
+    is_lam = mat < 0.5
+    is_metal = (mat >= 0.5) & (mat < 1.5)
+    new_dir = jnp.where(
+        is_lam, lam_dir, jnp.where(is_metal, metal_dir, diel_dir)
+    )
+    # Restore the unit invariant (lam/metal dirs are not unit;
+    # dielectric reflect/refract of a unit vector already is).
+    new_dir = _normalize3(new_dir)
+    atten = jnp.where(mat >= 1.5, jnp.ones_like(albedo), albedo)
+    # Logical (not select) form: a bool-valued jnp.where lowers to an
+    # i8 select + i1 truncation Mosaic rejects.
+    ok = (~is_metal) | metal_ok
+    return new_dir, atten, ok
+
+
+def _camera_ray_block(camc, h0, px, py, s_global, tile):
+    """Camera ray + 64-bit RNG stream (lo, hi) for per-lane GLOBAL
+    sample index `s_global` [1,T] i32
+    (reference: src/gpu/camera.h:140-167). Both stream words mix the
+    global pixel hash h0 with the GLOBAL sample index, so streams are
+    invariant to pass/mesh/compaction layout.
+    """
+    (cam_center, pixel00, delta_u, delta_v, disk_u, disk_v,
+     defocus_on, _width) = camc
+    s_u = s_global.astype(jnp.uint32)
+    lo = _pcg(h0 ^ (s_u * _GOLDEN))
+    hi = _pcg((h0 + s_u) * _GOLDEN2)
+    stream = (lo, hi)
+    jx = _u01(stream, 0) - 0.5
+    jy = _u01(stream, 1) - 0.5
+    sample_pos = (
+        pixel00
+        + (px + jx) * delta_u
+        + (py + jy) * delta_v
+    )  # [3, T]
+    disk_r = jnp.sqrt(_u01(stream, 2))
+    disk_t = (2.0 * math.pi) * _u01(stream, 3)
+    disk_x = disk_r * jnp.cos(disk_t)
+    disk_y = disk_r * jnp.sin(disk_t)
+    disk_origin = cam_center + disk_x * disk_u + disk_y * disk_v
+    o = jnp.where(defocus_on, disk_origin, jnp.broadcast_to(cam_center, (3, tile)))
+    # Unit direction: closest_hit assumes |d| = 1 (t becomes true
+    # distance; the reference's t is in |d| units, same geometry).
+    d = _normalize3(sample_pos - o)
+    return o, d, lo, hi
+
+
+# ---------------------------------------------------------------------------
 # The kernel.
 # ---------------------------------------------------------------------------
 
@@ -245,16 +446,8 @@ def _render_kernel(
     max_depth: int,
     budget: int,
 ):
-    width = cam_ref[19].astype(jnp.int32)
-    cam_center = jnp.stack(
-        [cam_ref[0], cam_ref[1], cam_ref[2]]
-    ).reshape(3, 1)
-    pixel00 = jnp.stack([cam_ref[3], cam_ref[4], cam_ref[5]]).reshape(3, 1)
-    delta_u = jnp.stack([cam_ref[6], cam_ref[7], cam_ref[8]]).reshape(3, 1)
-    delta_v = jnp.stack([cam_ref[9], cam_ref[10], cam_ref[11]]).reshape(3, 1)
-    disk_u = jnp.stack([cam_ref[12], cam_ref[13], cam_ref[14]]).reshape(3, 1)
-    disk_v = jnp.stack([cam_ref[15], cam_ref[16], cam_ref[17]]).reshape(3, 1)
-    defocus_on = cam_ref[18] > 0.0
+    camc = _unpack_cam(cam_ref)
+    width = camc[-1]
 
     # Each lane carries its GLOBAL flat pixel index in the int state (the
     # compaction passes shuffle lanes, so lane id no longer implies the
@@ -271,174 +464,16 @@ def _render_kernel(
     n_chunks = n_spheres // CHUNK
 
     def closest_hit(o, d):
-        """Sphere-chunked closest hit. `d` MUST be unit length (a = 1,
-        so the quadratic is t^2 + 2*half_b*t + cc with roots
-        -half_b -+ sqrt(disc)).
-
-        Returns (t_best [1,T], params_best [16,T]). params rows follow
-        the P matrix; rows of retired/miss lanes are garbage (masked by
-        the caller via t_best).
-
-        Structure: the chunk sweep is a STATIC python unroll that only
-        computes per-sphere candidate ts; the winner is found by ONE
-        cross-sublane min-reduce over the elementwise-min of the chunk
-        slabs, and the winner's params by ONE K=n_spheres one-hot matmul.
-        The earlier fold-as-you-go version paid two cross-sublane
-        reductions (min + tie-mass sum) and a [16,T] select per chunk —
-        on the cover scene (4 chunks) that was ~40% of the hot loop's
-        VPU ops. The tie-normalization mass now rides free in the
-        gathered _ACTIVE row (1.0 for every real sphere, so the one-hot
-        matmul sums it to the tie count).
-        """
-        o_dot_d = _dot3(o, d)
-        o_sq = _dot3(o, o)
-
-        t_cs = []
-        for c in range(n_chunks):
-            base = c * CHUNK
-            # Cross terms for all (sphere, ray) pairs as broadcast
-            # outer-products on the VPU: a K=3 dot_general wastes a full
-            # MXU pass per 128x128 output tile (the systolic array is
-            # paid as if K were 128), while [128,1]*[1,T] broadcasts are
-            # plain vector ops — 5-7 of them beat 16 near-empty MXU
-            # passes.
-            cx = pt_ref[pl.ds(base, CHUNK), _CX : _CX + 1]  # [128, 1]
-            cy = pt_ref[pl.ds(base, CHUNK), _CY : _CY + 1]
-            cz = pt_ref[pl.ds(base, CHUNK), _CZ : _CZ + 1]
-            csqr2 = pt_ref[pl.ds(base, CHUNK), _CSQR2 : _CSQR2 + 1]
-            m2cx = pt_ref[pl.ds(base, CHUNK), _M2CX : _M2CX + 1]
-            m2cy = pt_ref[pl.ds(base, CHUNK), _M2CY : _M2CY + 1]
-            m2cz = pt_ref[pl.ds(base, CHUNK), _M2CZ : _M2CZ + 1]
-            d_dot_c = cx * d[0:1] + cy * d[1:2] + cz * d[2:3]  # [128, T]
-            # -2 o.c + |c|^2 - r^2 (the -2c rows fold the scale away)
-            cc_part = csqr2 + m2cx * o[0:1] + m2cy * o[1:2] + m2cz * o[2:3]
-
-            half_b = o_dot_d - d_dot_c  # [128, T]
-            cc = o_sq + cc_part  # [128, T]
-            disc = half_b * half_b - cc
-            sqrt_d = jnp.sqrt(jnp.maximum(disc, 0.0))
-            root_near = -half_b - sqrt_d
-            root_far = -half_b + sqrt_d
-            # Nearest root strictly beyond the shadow-acne epsilon
-            # (reference: src/gpu/hittable_list.h:49-65 — the shrinking
-            # closest_so_far interval becomes the global min below).
-            # When disc <= 0 (no real root — including every padding
-            # slot, which has r^2 = -1 so disc <= -1) both roots
-            # degenerate to -half_b; the explicit disc > 0 term in
-            # `valid` rejects them.
-            t_c = jnp.where(root_near > T_MIN_EPS, root_near, root_far)
-            valid = (disc > 0.0) & (t_c > T_MIN_EPS)
-            t_cs.append(jnp.where(valid, t_c, T_MISS))
-
-        # Global winner: elementwise-min across chunk slabs, then one
-        # cross-sublane reduce.
-        t_slot = t_cs[0]
-        for t_c in t_cs[1:]:
-            t_slot = jnp.minimum(t_slot, t_c)
-        t_best = jnp.min(t_slot, axis=0, keepdims=True)  # [1, T]
-
-        # One-hot param gather over ALL spheres on the MXU. Miss lanes
-        # (t_best == T_MISS): every t_c row equals T_MISS too, so the
-        # `< T_MISS` guard zeroes the one-hot column -> params 0.
-        onehot = jnp.concatenate(
-            [(t_c <= t_best) & (t_c < T_MISS) for t_c in t_cs], axis=0
-        )  # [N, T]
-        params = jax.lax.dot_general(
-            p_ref[:, :],  # [16, N]
-            onehot.astype(jnp.float32),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [16, T]
-        # Ties (two spheres at exactly equal t) double-count in the
-        # matmul; the gathered _ACTIVE row IS the tie count (1.0 per
-        # real sphere), so renormalizing by it is free of any extra
-        # cross-sublane reduction.
-        mass = params[_ACTIVE : _ACTIVE + 1]
-        params = params / jnp.maximum(mass, 1.0)
+        """Sphere-chunked closest hit (see _sweep_ts / _select_hit)."""
+        t_best, params, _ = _select_hit(p_ref, _sweep_ts(o, d, pt_ref, n_chunks))
         return t_best, params
 
-    def scatter(d, n_vec, front_face, params, stream, ctr):
-        """Branchless 3-material scatter on [3,T]/[1,T] blocks
-        (same semantics as ops/materials.scatter_sampled). `d` is unit;
-        the returned direction is unit (the closest_hit invariant)."""
-        unit_sample = _unit_vectors(stream, ctr)  # [3, T]
-        reflect_u = _u01(stream, ctr + 4)
-
-        unit_in = d
-        mat = params[_MAT : _MAT + 1]  # [1, T]
-        albedo = params[_AR : _AB + 1]  # [3, T]
-        fuzz = params[_FUZZ : _FUZZ + 1]
-        ior = params[_IOR : _IOR + 1]
-
-        # lambertian (reference: src/gpu/material.h:24-36)
-        lam_dir = n_vec + unit_sample
-        degenerate = _dot3(lam_dir, lam_dir) < 1e-16
-        lam_dir = jnp.where(degenerate, n_vec, lam_dir)
-
-        # metal (reference: src/gpu/material.h:47-59)
-        reflected = unit_in - 2.0 * _dot3(unit_in, n_vec) * n_vec
-        metal_dir = reflected + fuzz * unit_sample
-        metal_ok = _dot3(metal_dir, n_vec) > 0.0
-
-        # dielectric (reference: src/gpu/material.h:70-93)
-        ratio = jnp.where(front_face, 1.0 / ior, ior)
-        cos_theta = jnp.minimum(_dot3(-unit_in, n_vec), 1.0)
-        sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
-        cannot_refract = ratio * sin_theta > 1.0
-        r0 = (1.0 - ratio) / (1.0 + ratio)
-        r0 = r0 * r0
-        one_m_cos = 1.0 - cos_theta
-        schlick = r0 + (1.0 - r0) * one_m_cos ** 5
-        must_reflect = cannot_refract | (schlick > reflect_u)
-        r_perp = ratio * (unit_in + cos_theta * n_vec)
-        k = jnp.maximum(1.0 - _dot3(r_perp, r_perp), 0.0)
-        r_par = -jnp.sqrt(k) * n_vec
-        refracted = r_perp + r_par
-        diel_dir = jnp.where(must_reflect, reflected, refracted)
-
-        is_lam = mat < 0.5
-        is_metal = (mat >= 0.5) & (mat < 1.5)
-        new_dir = jnp.where(
-            is_lam, lam_dir, jnp.where(is_metal, metal_dir, diel_dir)
-        )
-        # Restore the unit invariant (lam/metal dirs are not unit;
-        # dielectric reflect/refract of a unit vector already is).
-        new_dir = _normalize3(new_dir)
-        atten = jnp.where(mat >= 1.5, jnp.ones_like(albedo), albedo)
-        # Logical (not select) form: a bool-valued jnp.where lowers to an
-        # i8 select + i1 truncation Mosaic rejects.
-        ok = (~is_metal) | metal_ok
-        return new_dir, atten, ok
+    scatter = _scatter_block
 
     def camera_ray(s_local):
-        """Camera ray + 64-bit RNG stream (lo, hi) for per-lane LOCAL
-        sample index `s_local` [1,T] i32
-        (reference: src/gpu/camera.h:140-167). Both stream words mix the
-        global pixel hash h0 with the GLOBAL sample index, so streams are
-        invariant to pass/mesh/compaction layout.
-        """
-        s_global = s_local + seed_ref[2]
-        s_u = s_global.astype(jnp.uint32)
-        lo = _pcg(h0 ^ (s_u * _GOLDEN))
-        hi = _pcg((h0 + s_u) * _GOLDEN2)
-        stream = (lo, hi)
-        jx = _u01(stream, 0) - 0.5
-        jy = _u01(stream, 1) - 0.5
-        sample_pos = (
-            pixel00
-            + (px + jx) * delta_u
-            + (py + jy) * delta_v
-        )  # [3, T]
-        disk_r = jnp.sqrt(_u01(stream, 2))
-        disk_t = (2.0 * math.pi) * _u01(stream, 3)
-        disk_x = disk_r * jnp.cos(disk_t)
-        disk_y = disk_r * jnp.sin(disk_t)
-        disk_origin = cam_center + disk_x * disk_u + disk_y * disk_v
-        o = jnp.where(defocus_on, disk_origin, jnp.broadcast_to(cam_center, (3, tile)))
-        # Unit direction: closest_hit assumes |d| = 1 (t becomes true
-        # distance; the reference's t is in |d| units, same geometry).
-        d = _normalize3(sample_pos - o)
-        return o, d, lo, hi
+        """Camera ray + RNG stream for per-lane LOCAL sample index
+        `s_local` [1,T] i32 (see _camera_ray_block)."""
+        return _camera_ray_block(camc, h0, px, py, s_local + seed_ref[2], tile)
 
     # ---- persistent-sample loop, budgeted & resumable -----------------
     # The CUDA kernel loops samples-outer / bounces-inner per thread
