@@ -363,9 +363,18 @@ def _scatter_block(d, n_vec, front_face, params, stream, ctr):
     metal_ok = _dot3(metal_dir, n_vec) > 0.0
 
     # dielectric (reference: src/gpu/material.h:70-93)
+    # The sqrt guards below are DOUBLE-WHERE patterns: sqrt(x) has vjp
+    # g / (2 sqrt(x)), which is 0/0 = NaN at x = 0 even for zero
+    # cotangent — and every lane evaluates every material branch, so a
+    # lambertian lane's clamped-to-0 dielectric `k` would poison the
+    # whole backward pass (ops/pallas_grad.py differentiates this exact
+    # trace). Primal values are bit-identical: sqrt(where(x>0, x, 1)) *
+    # (x>0) equals sqrt(x) for x > 0 and 0 = sqrt(0) at the clamp.
     ratio = jnp.where(front_face, 1.0 / ior, ior)
     cos_theta = jnp.minimum(_dot3(-unit_in, n_vec), 1.0)
-    sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
+    s2 = jnp.maximum(1.0 - cos_theta * cos_theta, 0.0)
+    s2_pos = s2 > 0.0
+    sin_theta = jnp.sqrt(jnp.where(s2_pos, s2, 1.0)) * s2_pos
     cannot_refract = ratio * sin_theta > 1.0
     r0 = (1.0 - ratio) / (1.0 + ratio)
     r0 = r0 * r0
@@ -374,7 +383,8 @@ def _scatter_block(d, n_vec, front_face, params, stream, ctr):
     must_reflect = cannot_refract | (schlick > reflect_u)
     r_perp = ratio * (unit_in + cos_theta * n_vec)
     k = jnp.maximum(1.0 - _dot3(r_perp, r_perp), 0.0)
-    r_par = -jnp.sqrt(k) * n_vec
+    k_pos = k > 0.0
+    r_par = -(jnp.sqrt(jnp.where(k_pos, k, 1.0)) * k_pos) * n_vec
     refracted = r_perp + r_par
     diel_dir = jnp.where(must_reflect, reflected, refracted)
 

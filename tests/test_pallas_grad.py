@@ -1,0 +1,149 @@
+"""Pallas backward-kernel correctness (ops/pallas_grad.py).
+
+The differentiable fast path must (a) return the SAME image as the plain
+forward kernel bit for bit, and (b) produce gradients that match central
+finite differences of its own deterministic render (the kernel's PCG
+streams are pure functions of (pixel, sample, bounce, draw), so the
+render is a smooth function of scene parameters away from silhouettes —
+same FD protocol as tests/test_grad.py for the jnp path).
+
+All tests run the kernel in the Pallas TPU interpreter on CPU; the
+compiled kernel is numerically identical (pure uint32/f32 VPU math, see
+ops/pallas_render.py module docstring).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ray_tracing_in_one_weekend_tpu.models import scene as scene_lib
+from ray_tracing_in_one_weekend_tpu.models.camera import make_camera
+from ray_tracing_in_one_weekend_tpu.ops.pallas_grad import (
+    DIFF_FIELDS,
+    render_grads_pallas,
+    render_pallas_diff,
+)
+from ray_tracing_in_one_weekend_tpu.ops.pallas_render import render_pallas
+
+
+def _cam(width=32, spp=2, depth=4):
+    return make_camera(
+        image_width=width,
+        aspect_ratio=2.0,
+        samples_per_pixel=spp,
+        max_depth=depth,
+        vfov_degrees=90.0,
+        lookfrom=(0.0, 0.0, 0.0),
+        lookat=(0.0, 0.0, -1.0),
+        defocus_angle_degrees=0.0,
+        focus_dist=1.0,
+    )
+
+
+def _scene():
+    # lambertian ground + lambertian / dielectric / metal heroes — every
+    # material branch exercised (same scene as tests/test_grad.py).
+    return scene_lib.from_spheres(
+        centers=[[0.0, -100.5, -1.0], [0.0, 0.0, -1.0], [-1.0, 0.0, -1.0], [1.0, 0.0, -1.0]],
+        radii=[100.0, 0.5, 0.5, 0.5],
+        mat_types=[0, 0, 2, 1],
+        albedos=[[0.8, 0.8, 0.0], [0.1, 0.2, 0.5], [1.0, 1.0, 1.0], [0.8, 0.6, 0.2]],
+        fuzzes=[0.0, 0.0, 0.0, 0.2],
+        iors=[1.5, 1.5, 1.5, 1.5],
+        pad_to=128,
+    )
+
+
+KW = dict(seed=3, tile=512, bwd_tile=512, interpret=True, n_passes=1)
+
+
+def test_value_bit_identical_to_forward_kernel():
+    cam = _cam()
+    sc = _scene()
+    img_fast = render_pallas(sc, cam, seed=3, tile=512, interpret=True, n_passes=1)
+    img_diff = render_pallas_diff(sc, cam, **KW)
+    assert np.array_equal(np.asarray(img_fast), np.asarray(img_diff))
+
+
+def test_value_bit_identical_with_compaction():
+    """The primal goes through _multipass: tail compaction must not
+    change the differentiable entry's value either."""
+    cam = _cam()
+    sc = _scene()
+    img_fast = render_pallas(
+        sc, cam, seed=3, tile=512, interpret=True, n_passes=3, budget=4
+    )
+    img_diff = render_pallas_diff(
+        sc, cam, seed=3, tile=512, bwd_tile=512, interpret=True, n_passes=3, budget=4
+    )
+    assert np.array_equal(np.asarray(img_fast), np.asarray(img_diff))
+
+
+@pytest.fixture(scope="module")
+def grads_and_loss():
+    cam = _cam()
+    sc = _scene()
+    params = {k: getattr(sc, k) for k in DIFF_FIELDS}
+
+    def loss(p):
+        img = render_pallas_diff(sc.replace(**p), cam, **KW)
+        return jnp.mean(img)
+
+    grads = jax.grad(loss)(params)
+    return params, grads, loss
+
+
+def test_gradients_finite_and_nonzero(grads_and_loss):
+    _, grads, _ = grads_and_loss
+    for name, g in grads.items():
+        assert bool(jnp.all(jnp.isfinite(g))), f"non-finite grad in {name}"
+    total = sum(float(jnp.abs(g).sum()) for g in grads.values())
+    assert total > 0.0
+
+
+@pytest.mark.parametrize(
+    "field,idx,eps,atol,rtol",
+    [
+        ("albedo", (0, 0), 1e-3, 1e-5, 0.02),
+        ("albedo", (1, 2), 1e-3, 1e-5, 0.02),
+        ("center", (1, 1), 3e-4, 2e-4, 0.2),
+        ("center", (1, 2), 3e-4, 2e-4, 0.2),
+        ("radius", (1,), 3e-4, 2e-4, 0.2),
+        ("fuzz", (3,), 1e-3, 1e-4, 0.1),
+        ("ior", (2,), 1e-3, 1e-4, 0.1),
+    ],
+)
+def test_kernel_gradients_match_fd(grads_and_loss, field, idx, eps, atol, rtol):
+    params, grads, loss = grads_and_loss
+    x0 = np.asarray(params[field]).copy()
+    xp = x0.copy()
+    xp[idx] += eps
+    xm = x0.copy()
+    xm[idx] -= eps
+    fp = float(loss({**params, field: jnp.asarray(xp)}))
+    fm = float(loss({**params, field: jnp.asarray(xm)}))
+    fd = (fp - fm) / (2 * eps)
+    ad = float(np.asarray(grads[field])[idx])
+    assert np.isclose(ad, fd, atol=atol, rtol=rtol), (
+        f"{field}[{idx}]: kernel-vjp {ad:.6f} vs FD {fd:.6f}"
+    )
+
+
+def test_render_grads_pallas_cover_scene_finite():
+    """Full 512-slot cover scene through the loss/grad convenience API:
+    one backward kernel pass, all-finite gradients on every field."""
+    sc = scene_lib.cover_scene(0)
+    cam = make_camera(
+        image_width=32, aspect_ratio=2.0, samples_per_pixel=1, max_depth=6
+    )
+    target = jnp.zeros((cam.image_height, cam.image_width, 3), jnp.float32)
+    params = {k: getattr(sc, k) for k in DIFF_FIELDS}
+    loss, grads = render_grads_pallas(
+        params, sc, cam, target,
+        seed=0, tile=512, bwd_tile=512, interpret=True, n_passes=1,
+    )
+    assert np.isfinite(float(loss)) and float(loss) > 0.0
+    for name, g in grads.items():
+        assert bool(jnp.all(jnp.isfinite(g))), f"non-finite grad in {name}"
+    assert sum(float(jnp.abs(g).sum()) for g in grads.values()) > 0.0
