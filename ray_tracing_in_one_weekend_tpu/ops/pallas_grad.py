@@ -222,11 +222,10 @@ def _bwd_kernel(
     # Safe parameter column for idle/miss lanes (gathered params are 0
     # there): radius 1 and ior 1 keep every reciprocal finite so no NaN
     # can leak into live lanes' adjoints through where-branches.
-    safe_col = (
-        jnp.zeros((P_ROWS, 1), jnp.float32)
-        .at[_R].set(1.0)
-        .at[_IOR].set(1.0)
-    )
+    safe_np = np.zeros((P_ROWS, 1), np.float32)
+    safe_np[_R] = 1.0
+    safe_np[_IOR] = 1.0
+    safe_col = jnp.asarray(safe_np)  # static constant (Mosaic has no scatter)
 
     def back_body(jj, carry):
         obar, dbar, attbar, gacc = carry
