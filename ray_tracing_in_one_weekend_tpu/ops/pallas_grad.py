@@ -61,7 +61,6 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -221,11 +220,11 @@ def _bwd_kernel(
     iota_nt = jax.lax.broadcasted_iota(jnp.float32, (n_spheres, tile), 0)
     # Safe parameter column for idle/miss lanes (gathered params are 0
     # there): radius 1 and ior 1 keep every reciprocal finite so no NaN
-    # can leak into live lanes' adjoints through where-branches.
-    safe_np = np.zeros((P_ROWS, 1), np.float32)
-    safe_np[_R] = 1.0
-    safe_np[_IOR] = 1.0
-    safe_col = jnp.asarray(safe_np)  # static constant (Mosaic has no scatter)
+    # can leak into live lanes' adjoints through where-branches. Built
+    # with traced iota+where (no scatter, no captured constants) so the
+    # construction is legal both compiled (Mosaic) and interpreted.
+    prow = jax.lax.broadcasted_iota(jnp.int32, (P_ROWS, 1), 0)
+    safe_col = ((prow == _R) | (prow == _IOR)).astype(jnp.float32)
 
     def back_body(jj, carry):
         obar, dbar, attbar, gacc = carry
