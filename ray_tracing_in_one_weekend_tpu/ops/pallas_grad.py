@@ -61,6 +61,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -141,7 +142,11 @@ def _bwd_kernel(
     o0, d0, lo, hi = _camera_ray_block(camc, h0, px, py, s_global, tile)
     stream = (lo, hi)
 
-    iota_n1 = jax.lax.broadcasted_iota(jnp.float32, (2, n_spheres), 1)
+    # Integer iota + cast: Mosaic's tpu.iota only produces integers, so
+    # a float32 broadcasted_iota fails TPU lowering (works interpreted).
+    iota_n1 = jax.lax.broadcasted_iota(jnp.int32, (2, n_spheres), 1).astype(
+        jnp.float32
+    )
     idx_mass_rows = jnp.concatenate(
         [iota_n1[0:1], jnp.ones((1, n_spheres), jnp.float32)], axis=0
     )  # [2, N]: sphere index row + tie-mass row
@@ -217,7 +222,9 @@ def _bwd_kernel(
 
     # ---- Phase B: reverse adjoint sweep ----------------------------------
     g_lane = jnp.where(valid, g_ref[:, :], 0.0)  # [3, T]
-    iota_nt = jax.lax.broadcasted_iota(jnp.float32, (n_spheres, tile), 0)
+    iota_nt = jax.lax.broadcasted_iota(jnp.int32, (n_spheres, tile), 0).astype(
+        jnp.float32
+    )
     # Safe parameter column for idle/miss lanes (gathered params are 0
     # there): radius 1 and ior 1 keep every reciprocal finite so no NaN
     # can leak into live lanes' adjoints through where-branches. Built
@@ -376,14 +383,23 @@ def _pallas_bwd(
 
 
 class _DiffCfg(NamedTuple):
-    """Hashable static config for the custom_vjp pair."""
+    """Hashable static config for the custom_vjp pair.
+
+    `n_lanes` is the number of flat pixels THIS call renders (a shard's
+    slab, or the whole image single-chip); `n_pixels_total` the whole
+    image's pixel count (lanes with global id beyond it are born dead).
+    `spp` is the LOCAL sample count of this call (a shard's slice of the
+    global budget). The pixel/sample offsets are traced arguments, not
+    config: shard_map traces ONE program for all shards, so anything
+    that varies per shard must be data.
+    """
 
     width: int
-    height: int
+    n_lanes: int
+    n_pixels_total: int
     spp: int
     max_depth: int
     seed: int
-    sample_offset: int
     tile: int
     n_passes: int
     budget: int
@@ -391,45 +407,68 @@ class _DiffCfg(NamedTuple):
     interpret: bool
 
 
-def _primal_flat(cfg: _DiffCfg, p_mat, cam_vec):
-    """Fast forward (ops/pallas_render._multipass) -> [3, n_pixels]."""
-    n_pixels = cfg.width * cfg.height
-    padded = -(-n_pixels // cfg.tile) * cfg.tile
-    scalars = jnp.asarray([cfg.seed, 0, cfg.sample_offset, 0], jnp.int32)
-    sf, si = _init_state(0, padded, n_pixels, cfg.spp)
+# Cotangent for integer (pixel_offset, sample_offset) args: float0, the
+# JAX tangent type of integer arrays.
+def _int_zero_cotangent(x):
+    return np.zeros(x.shape, jax.dtypes.float0)
+
+
+def _primal_flat(cfg: _DiffCfg, p_mat, cam_vec, offsets):
+    """Fast forward (ops/pallas_render._multipass) -> [3, n_lanes].
+
+    `offsets` = i32 [2]: (global pixel id of lane 0, global sample index
+    of local sample 0). Output is in local-pixel order.
+    """
+    padded = -(-cfg.n_lanes // cfg.tile) * cfg.tile
+    scalars = jnp.stack(
+        [jnp.int32(cfg.seed), offsets[0], offsets[1], jnp.int32(0)]
+    )
+    sf, si = _init_state(offsets[0], padded, cfg.n_pixels_total, cfg.spp)
     rad = _multipass(
         p_mat, p_mat.T, cam_vec, scalars, sf, si,
         cfg.tile, cfg.spp, cfg.max_depth, cfg.budget, cfg.n_passes,
         cfg.interpret,
     )
-    return rad[:, :n_pixels]
+    return rad[:, : cfg.n_lanes]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _diff_render_flat(cfg: _DiffCfg, p_mat, cam_vec):
-    return _primal_flat(cfg, p_mat, cam_vec)
+def _diff_render_flat(cfg: _DiffCfg, p_mat, cam_vec, offsets):
+    return _primal_flat(cfg, p_mat, cam_vec, offsets)
 
 
-def _diff_fwd(cfg, p_mat, cam_vec):
-    return _primal_flat(cfg, p_mat, cam_vec), (p_mat, cam_vec)
+def _diff_fwd(cfg, p_mat, cam_vec, offsets):
+    return _primal_flat(cfg, p_mat, cam_vec, offsets), (p_mat, cam_vec, offsets)
 
 
 def _diff_bwd(cfg, residuals, gbar):
-    p_mat, cam_vec = residuals
-    n_pixels = cfg.width * cfg.height
-    padded = -(-n_pixels // cfg.bwd_tile) * cfg.bwd_tile
-    # The image is the per-pixel MEAN over spp samples: each sample's
-    # radiance cotangent is the pixel cotangent / spp.
-    g = jnp.zeros((3, padded), jnp.float32).at[:, :n_pixels].set(gbar / cfg.spp)
-    scalars = jnp.asarray(
-        [cfg.seed, 0, cfg.sample_offset, n_pixels], jnp.int32
+    p_mat, cam_vec, offsets = residuals
+    padded = -(-cfg.n_lanes // cfg.bwd_tile) * cfg.bwd_tile
+    # The call's output is the per-pixel MEAN over its spp samples: each
+    # sample's radiance cotangent is the pixel cotangent / spp.
+    g = jnp.zeros((3, padded), jnp.float32).at[:, : cfg.n_lanes].set(
+        gbar / cfg.spp
+    )
+    # scalars[3] (the backward kernel's live-lane bound) clips at the
+    # slab end: lanes past it would replay pixels OUTSIDE this shard's
+    # slab; their g is 0 so they contribute nothing, but idling them
+    # skips the replay cost entirely.
+    scalars = jnp.stack(
+        [
+            jnp.int32(cfg.seed),
+            offsets[0],
+            offsets[1],
+            jnp.minimum(
+                offsets[0] + cfg.n_lanes, jnp.int32(cfg.n_pixels_total)
+            ),
+        ]
     )
     grads = _pallas_bwd(
         p_mat, p_mat.T, cam_vec, scalars, g,
         tile=cfg.bwd_tile, spp=cfg.spp, max_depth=cfg.max_depth,
         interpret=cfg.interpret,
     )
-    return grads, jnp.zeros_like(cam_vec)
+    return grads, jnp.zeros_like(cam_vec), _int_zero_cotangent(offsets)
 
 
 _diff_render_flat.defvjp(_diff_fwd, _diff_bwd)
@@ -458,13 +497,14 @@ def render_pallas_diff(
     spp = cam.samples_per_pixel if spp is None else spp
     max_depth = cam.max_depth if max_depth is None else max_depth
     budget = _default_budget(spp) if budget is None else budget
+    n_pixels = cam.image_width * cam.image_height
     cfg = _DiffCfg(
         width=cam.image_width,
-        height=cam.image_height,
+        n_lanes=n_pixels,
+        n_pixels_total=n_pixels,
         spp=spp,
         max_depth=max_depth,
         seed=seed,
-        sample_offset=sample_offset,
         tile=tile,
         n_passes=n_passes,
         budget=budget,
@@ -473,8 +513,102 @@ def render_pallas_diff(
     )
     p_mat = pack_scene(scene)
     cam_vec = jnp.asarray(pack_camera(cam))
-    rad = _diff_render_flat(cfg, p_mat, cam_vec)  # [3, n_pixels]
+    offsets = jnp.asarray([0, sample_offset], jnp.int32)
+    rad = _diff_render_flat(cfg, p_mat, cam_vec, offsets)  # [3, n_pixels]
     return jnp.transpose(rad).reshape(cam.image_height, cam.image_width, 3)
+
+
+def render_pallas_diff_distributed(
+    scene: Scene,
+    cam: Camera,
+    seed: int = 0,
+    mesh=None,
+    spp: int | None = None,
+    max_depth: int | None = None,
+    tile: int = DEFAULT_TILE,
+    bwd_tile: int = _DEFAULT_BWD_TILE,
+    interpret: bool = False,
+    n_passes: int = DEFAULT_PASSES,
+    budget: int | None = None,
+    sample_offset: int = 0,
+) -> jnp.ndarray:
+    """Mesh-sharded differentiable Pallas render -> [H, W, 3].
+
+    Forward = `render_pallas_distributed`'s layout exactly (pixel-slab +
+    sample-slice shards, pmean over the sample axis); backward = each
+    shard runs the Pallas backward kernel on its own (slab, sample
+    slice) and the `[16, N]` parameter cotangent comes out psum-reduced
+    over BOTH mesh axes automatically (the replicated-input gradient
+    rule of shard_map — the DP gradient all-reduce of SURVEY.md §2.2,
+    riding ICI). Because lanes key their RNG streams on GLOBAL
+    (pixel, sample) ids, both the image and the gradients are
+    bit-identical to the single-chip kernel for any mesh shape
+    (tests/test_pallas_grad.py).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ray_tracing_in_one_weekend_tpu.parallel.dist import (
+        PIXEL_AXIS,
+        SAMPLE_AXIS,
+        make_mesh,
+    )
+
+    if mesh is None:
+        mesh = make_mesh()
+    spp = cam.samples_per_pixel if spp is None else spp
+    max_depth = cam.max_depth if max_depth is None else max_depth
+
+    n_pix_shards = mesh.shape[PIXEL_AXIS]
+    n_smp_shards = mesh.shape[SAMPLE_AXIS]
+    if spp % n_smp_shards != 0:
+        raise ValueError(
+            f"samples_per_pixel={spp} must divide evenly over the "
+            f"'{SAMPLE_AXIS}' mesh axis of size {n_smp_shards}"
+        )
+    spp_local = spp // n_smp_shards
+    budget = _default_budget(spp_local) if budget is None else budget
+
+    w, h = cam.image_width, cam.image_height
+    n_pixels = w * h
+    shard_pixels = -(-n_pixels // (n_pix_shards * tile)) * tile
+
+    cfg = _DiffCfg(
+        width=w,
+        n_lanes=shard_pixels,
+        n_pixels_total=n_pixels,
+        spp=spp_local,
+        max_depth=max_depth,
+        seed=seed,
+        tile=tile,
+        n_passes=n_passes,
+        budget=budget,
+        bwd_tile=bwd_tile,
+        interpret=interpret,
+    )
+    p_mat = pack_scene(scene)
+    cam_vec = jnp.asarray(pack_camera(cam))
+    slab_offsets = (
+        jnp.arange(n_pix_shards, dtype=jnp.int32) * shard_pixels
+    )[:, None]
+
+    def shard_fn(p_mat, cam_vec, slab_offset):
+        s_idx = jax.lax.axis_index(SAMPLE_AXIS).astype(jnp.int32)
+        offsets = jnp.stack(
+            [slab_offset[0, 0], s_idx * spp_local + jnp.int32(sample_offset)]
+        )
+        rad = _diff_render_flat(cfg, p_mat, cam_vec, offsets)
+        return jax.lax.pmean(rad, SAMPLE_AXIS)
+
+    out = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(PIXEL_AXIS, None)),
+        out_specs=P(None, PIXEL_AXIS),
+        check_vma=False,
+    )(p_mat, cam_vec, slab_offsets)  # [3, n_pix_shards * shard_pixels]
+
+    img = out[:, :n_pixels]
+    return jnp.transpose(img).reshape(h, w, 3)
 
 
 # Scene leaves that receive gradients (matches parallel/dist.DIFF_FIELDS).
@@ -482,16 +616,39 @@ DIFF_FIELDS = ("center", "radius", "albedo", "fuzz", "ior")
 
 
 def render_loss_pallas(
-    params: dict, scene: Scene, cam: Camera, target: jnp.ndarray, **kw
+    params: dict, scene: Scene, cam: Camera, target: jnp.ndarray,
+    mesh=None, **kw
 ) -> jnp.ndarray:
-    """Mean-squared pixel loss of the kernel render against `target`."""
-    img = render_pallas_diff(scene.replace(**params), cam, **kw)
+    """Mean-squared pixel loss of the kernel render against `target`.
+    With `mesh`, the forward/backward kernels run sharded over it."""
+    s = scene.replace(**params)
+    if mesh is not None:
+        img = render_pallas_diff_distributed(s, cam, mesh=mesh, **kw)
+    else:
+        img = render_pallas_diff(s, cam, **kw)
     return jnp.mean((img - target) ** 2)
 
 
 def render_grads_pallas(
-    params: dict, scene: Scene, cam: Camera, target: jnp.ndarray, **kw
+    params: dict, scene: Scene, cam: Camera, target: jnp.ndarray,
+    mesh=None, **kw
 ):
     """(loss, grads) of the Pallas render w.r.t. scene parameters —
-    the kernel-speed counterpart of parallel/dist.render_grads."""
-    return jax.value_and_grad(render_loss_pallas)(params, scene, cam, target, **kw)
+    the kernel-speed counterpart of parallel/dist.render_grads. With
+    `mesh`, gradients are computed shard-locally and psum-reduced over
+    the mesh (parallel/dist.py's DP gradient all-reduce, at kernel
+    speed)."""
+    return jax.value_and_grad(render_loss_pallas)(
+        params, scene, cam, target, mesh=mesh, **kw
+    )
+
+
+def train_step_pallas(
+    params: dict, scene: Scene, cam: Camera, target: jnp.ndarray,
+    mesh=None, lr: float = 1e-2, **kw
+):
+    """One SGD step of inverse rendering at kernel speed: returns
+    (loss, new_params) — the Pallas twin of parallel/dist.train_step."""
+    loss, grads = render_grads_pallas(params, scene, cam, target, mesh=mesh, **kw)
+    new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
+    return loss, new_params

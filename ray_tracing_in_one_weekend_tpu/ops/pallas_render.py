@@ -782,12 +782,16 @@ def render_pallas(
     interpret: bool = False,
     n_passes: int = DEFAULT_PASSES,
     budget: int | None = None,
+    sample_offset: int = 0,
 ) -> jnp.ndarray:
     """Render the full image with the Pallas TPU kernel -> [H, W, 3].
 
     `interpret=True` runs the kernel in the Pallas interpreter (CPU CI).
     `n_passes`/`budget` tune tail compaction (see _multipass); the image
     is bit-identical for any setting — only lane scheduling changes.
+    `sample_offset` starts the global sample streams at that index:
+    rendering [0, k) then [k, k+n) and averaging equals one (k+n)-sample
+    render (the progressive-checkpoint contract, utils/checkpoint.py).
     """
     spp = cam.samples_per_pixel if spp is None else spp
     max_depth = cam.max_depth if max_depth is None else max_depth
@@ -799,7 +803,7 @@ def render_pallas(
     p_mat = pack_scene(scene)
     pt_mat = p_mat.T
     cam_vec = jnp.asarray(pack_camera(cam))
-    scalars = jnp.asarray([seed, 0, 0, 0], jnp.int32)
+    scalars = jnp.asarray([seed, 0, sample_offset, 0], jnp.int32)
     sf, si = _init_state(0, padded, n_pixels, spp)
 
     rad = _multipass_jit(
@@ -821,6 +825,7 @@ def render_pallas_distributed(
     interpret: bool = False,
     n_passes: int = DEFAULT_PASSES,
     budget: int | None = None,
+    sample_offset: int = 0,
 ) -> jnp.ndarray:
     """Mesh-sharded Pallas render -> [H, W, 3].
 
@@ -875,7 +880,7 @@ def render_pallas_distributed(
             [
                 jnp.int32(seed),
                 offset[0, 0],
-                s_idx * spp_local,
+                s_idx * spp_local + jnp.int32(sample_offset),
                 jnp.int32(0),
             ]
         )

@@ -101,12 +101,15 @@ def render_distributed(
     chunk_size: int = DEFAULT_CHUNK,
     spp: int | None = None,
     differentiable: bool = False,
+    sample_offset: int = 0,
 ) -> jnp.ndarray:
     """Render the full image sharded over `mesh` -> linear [H, W, 3].
 
     Pixel axis: flat pixel space split into equal contiguous slabs.
     Sample axis: spp split into equal slices, merged by psum-mean.
     Bit-identical to the single-chip `ops.render.render` for any mesh.
+    `sample_offset` starts the global sample streams there (progressive
+    accumulation, utils/checkpoint.py).
     """
     spp = cam.samples_per_pixel if spp is None else spp
     n_pix_shards = mesh.shape[PIXEL_AXIS]
@@ -133,7 +136,7 @@ def render_distributed(
             key,
             chunk_size=chunk_size,
             spp=spp_local,
-            sample_offset=s_idx * spp_local,
+            sample_offset=s_idx * spp_local + sample_offset,
             differentiable=differentiable,
         )
         # Mean over the sample axis = the reference's offline PNG merge

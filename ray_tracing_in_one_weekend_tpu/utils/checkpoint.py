@@ -54,25 +54,70 @@ def accumulate(
     base_key: jax.Array | int,
     spp_batch: int,
     chunk_size: int = DEFAULT_CHUNK,
+    backend: str = "jnp",
+    mesh=None,
+    tile: int | None = None,
+    interpret: bool = False,
 ) -> RenderState:
     """Render the next `spp_batch` samples and fold them into `state`.
 
     Sample indices continue from `state.spp_done`, so any batching
     schedule yields the same final image as one monolithic run.
+
+    `backend="pallas"` accumulates through the Pallas kernel (its
+    streams key on the same global sample indices via `sample_offset`,
+    ops/pallas_render.py scalars[2]); `mesh` shards either backend over
+    devices (sample shards split each batch, so every batching schedule
+    still covers the same global sample set).
     """
-    if isinstance(base_key, int):
-        base_key = jax.random.key(base_key)
-    w, h = cam.image_width, cam.image_height
-    # Continue the global sample stream where the checkpoint stopped.
-    colors = render_flat(
-        scene,
-        cam,
-        jnp.arange(w * h),
-        base_key,
-        chunk_size=chunk_size,
-        spp=spp_batch,
-        sample_offset=state.spp_done,
-    ).reshape(h, w, 3)
+    done = int(state.spp_done)
+    if backend == "pallas":
+        from ray_tracing_in_one_weekend_tpu.ops.pallas_render import (
+            DEFAULT_TILE,
+            render_pallas,
+            render_pallas_distributed,
+        )
+
+        if not isinstance(base_key, int):
+            raise TypeError(
+                "backend='pallas' takes an integer seed, not a PRNG key"
+            )
+        kw = dict(
+            seed=base_key,
+            spp=spp_batch,
+            sample_offset=done,
+            tile=DEFAULT_TILE if tile is None else tile,
+            interpret=interpret,
+        )
+        if mesh is not None:
+            colors = render_pallas_distributed(scene, cam, mesh=mesh, **kw)
+        else:
+            colors = render_pallas(scene, cam, **kw)
+    elif mesh is not None:
+        from ray_tracing_in_one_weekend_tpu.parallel.dist import (
+            render_distributed,
+        )
+
+        if isinstance(base_key, int):
+            base_key = jax.random.key(base_key)
+        colors = render_distributed(
+            scene, cam, base_key, mesh, chunk_size=chunk_size,
+            spp=spp_batch, sample_offset=done,
+        )
+    else:
+        if isinstance(base_key, int):
+            base_key = jax.random.key(base_key)
+        w, h = cam.image_width, cam.image_height
+        # Continue the global sample stream where the checkpoint stopped.
+        colors = render_flat(
+            scene,
+            cam,
+            jnp.arange(w * h),
+            base_key,
+            chunk_size=chunk_size,
+            spp=spp_batch,
+            sample_offset=state.spp_done,
+        ).reshape(h, w, 3)
     return RenderState(
         accum=state.accum + colors * spp_batch,
         spp_done=state.spp_done + spp_batch,

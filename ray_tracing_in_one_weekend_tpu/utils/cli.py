@@ -158,7 +158,7 @@ def main(argv=None) -> int:
         return render_image(scene, cam, config.seed, chunk_size=config.chunk_pixels)
 
     if args.checkpoint:
-        return _run_checkpointed(args, config, scene, cam)
+        return _run_checkpointed(args, config, scene, cam, backend)
 
     # Warmup/compile outside the timed bracket, like the reference times
     # only the render (reference: src/gpu/main.cu:128-139). The scalar
@@ -207,14 +207,25 @@ def main(argv=None) -> int:
     return 0
 
 
-def _run_checkpointed(args, config, scene, cam) -> int:
-    """Progressive accumulation with resume (utils/checkpoint.py)."""
+def _run_checkpointed(args, config, scene, cam, backend) -> int:
+    """Progressive accumulation with resume (utils/checkpoint.py), on
+    either backend, optionally mesh-sharded — the kernel's sample
+    streams key on global sample indices, so batching is free of
+    statistical cost on every path."""
     import os
 
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
     from ray_tracing_in_one_weekend_tpu.utils import checkpoint as ckpt
+
+    mesh = None
+    if config.mesh_shape:
+        from ray_tracing_in_one_weekend_tpu.parallel import dist
+
+        mesh = dist.make_mesh(config.mesh_shape)
+    interpret = jax.devices()[0].platform != "tpu"
 
     if os.path.exists(args.checkpoint):
         state = ckpt.load(args.checkpoint)
@@ -228,7 +239,9 @@ def _run_checkpointed(args, config, scene, cam) -> int:
         n = min(batch, target_spp - int(state.spp_done))
         t0 = time.perf_counter()
         state = ckpt.accumulate(
-            state, scene, cam, config.seed, n, chunk_size=config.chunk_pixels
+            state, scene, cam, config.seed, n,
+            chunk_size=config.chunk_pixels,
+            backend=backend, mesh=mesh, tile=args.tile, interpret=interpret,
         )
         float(jnp.sum(state.accum))  # completion barrier
         ckpt.save(state, args.checkpoint)

@@ -23,8 +23,10 @@ from ray_tracing_in_one_weekend_tpu.ops.pallas_grad import (
     DIFF_FIELDS,
     render_grads_pallas,
     render_pallas_diff,
+    render_pallas_diff_distributed,
 )
 from ray_tracing_in_one_weekend_tpu.ops.pallas_render import render_pallas
+from ray_tracing_in_one_weekend_tpu.parallel.dist import make_mesh
 
 
 def _cam(width=32, spp=2, depth=4):
@@ -128,6 +130,55 @@ def test_kernel_gradients_match_fd(grads_and_loss, field, idx, eps, atol, rtol):
     assert np.isclose(ad, fd, atol=atol, rtol=rtol), (
         f"{field}[{idx}]: kernel-vjp {ad:.6f} vs FD {fd:.6f}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Mesh-sharded gradients at kernel speed (render_pallas_diff_distributed):
+# the forward image is BIT-identical to the single-chip kernel for pure
+# pixel sharding (each pixel rendered by exactly one shard with the same
+# global-keyed streams); gradients and sample-sharded images match to
+# float tolerance only, because psum/pmean change the order of the f32
+# accumulations (non-associative), not their values.
+# ---------------------------------------------------------------------------
+
+DIST_KW = dict(seed=3, tile=128, bwd_tile=128, interpret=True, n_passes=1)
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (1, 8)])
+def test_dist_diff_value_matches_single_chip(mesh_shape):
+    cam = _cam(spp=8)
+    sc = _scene()
+    single = np.asarray(render_pallas_diff(sc, cam, **DIST_KW))
+    dist = np.asarray(
+        render_pallas_diff_distributed(
+            sc, cam, mesh=make_mesh(mesh_shape), **DIST_KW
+        )
+    )
+    if mesh_shape[1] == 1:
+        assert np.array_equal(dist, single)
+    else:
+        np.testing.assert_allclose(dist, single, atol=1e-6)
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (1, 8)])
+def test_dist_grads_match_single_chip(mesh_shape):
+    cam = _cam(spp=8)
+    sc = _scene()
+    params = {k: getattr(sc, k) for k in DIFF_FIELDS}
+    target = jnp.zeros((cam.image_height, cam.image_width, 3), jnp.float32)
+    loss_1, grads_1 = render_grads_pallas(params, sc, cam, target, **DIST_KW)
+    loss_m, grads_m = render_grads_pallas(
+        params, sc, cam, target, mesh=make_mesh(mesh_shape), **DIST_KW
+    )
+    assert np.isclose(float(loss_1), float(loss_m), rtol=1e-6)
+    for name in grads_1:
+        np.testing.assert_allclose(
+            np.asarray(grads_m[name]),
+            np.asarray(grads_1[name]),
+            rtol=2e-5,
+            atol=1e-6,
+            err_msg=f"grad mismatch in {name} on mesh {mesh_shape}",
+        )
 
 
 def test_render_grads_pallas_cover_scene_finite():
