@@ -126,10 +126,15 @@ def main() -> None:
                 (cam.image_height, cam.image_width, 3), jnp.float32
             )
 
+            # One jitted graph for the whole step: eager dispatch of the
+            # surrounding glue costs seconds per call over the tunneled
+            # TPU platform.
+            grad_fn = jax.jit(
+                lambda p: render_grads_pallas(p, scene, cam, target, seed=0)
+            )
+
             def run_grads(i):
-                loss, grads = render_grads_pallas(
-                    params, scene, cam, target, seed=0
-                )
+                loss, grads = grad_fn(params)
                 # Completion barrier on both loss and one grad leaf.
                 return float(loss) + float(jnp.sum(grads["radius"]))
 

@@ -277,10 +277,18 @@ def _bwd_kernel(
             half_b = o_dot_d - d_dot_c
             cc = o_sq + cc_part
             disc = half_b * half_b - cc
-            # Double-where: dead lanes see disc=1 so the sqrt pullback
-            # (g / 2 sqrt(disc)) never produces inf * 0 = NaN.
+            # Dead lanes see disc=1 (double-where); live lanes floor the
+            # sqrt argument at 1e-12 so a grazing hit (disc -> 0+, or
+            # even disc < 0 here when Mosaic's FMA contraction differs
+            # between the Phase-A replay and this recomputation) keeps
+            # the sqrt pullback g / (2 sqrt(disc)) <= 5e5 g instead of
+            # inf. Without the floor one grazing lane's inf poisons
+            # every geometry-row gradient via the gacc matmul — observed
+            # compiled on v5e (finite interpreted), the exact hazard
+            # SURVEY.md §7 (a) flags. Primal error of the floor:
+            # sqrt_d off by <= 1e-6 on those lanes only.
             disc = jnp.where(cont, disc, 1.0)
-            sqrt_d = jnp.sqrt(jnp.maximum(disc, 0.0))
+            sqrt_d = jnp.sqrt(jnp.maximum(disc, 1e-12))
             root_near = -half_b - sqrt_d
             root_far = -half_b + sqrt_d
             t = jnp.where(root_near > T_MIN_EPS, root_near, root_far)

@@ -179,6 +179,24 @@ def render_image_distributed(
     return _render_distributed_jit(scene, cam, base_key, mesh, chunk_size, spp)
 
 
+def fetch_image(img) -> np.ndarray:
+    """Materialize a (possibly multi-host-sharded) framebuffer on every
+    host as a plain numpy array.
+
+    Single-process: a plain device fetch. Multi-process (after
+    `jax.distributed.initialize`): each host holds only its addressable
+    shards of the global framebuffer, so `np.asarray` would fail —
+    gather the full image over DCN instead (the TPU-native form of the
+    reference's single-host managed-memory readback,
+    reference: src/gpu/main.cu:101,109-110; host 0 then owns the PPM
+    write, utils/cli.py)."""
+    if jax.process_count() == 1:
+        return np.asarray(img)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(img, tiled=True))
+
+
 # ---------------------------------------------------------------------------
 # Differentiable distributed rendering (inverse rendering / "training").
 #

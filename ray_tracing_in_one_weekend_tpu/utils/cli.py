@@ -60,8 +60,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend", choices=("auto", "jnp", "pallas"), default=None)
     p.add_argument("--mesh", default=None, metavar="P[,S]",
                    help="device mesh: pixel shards, optional sample shards (jnp backend)")
+    p.add_argument("--platform", choices=("auto", "cpu", "tpu"), default="auto",
+                   help="force the JAX platform (this image pins "
+                        "JAX_PLATFORMS in sitecustomize, so the env var "
+                        "route does not work — this flag does)")
+    p.add_argument("--num-devices", type=int, default=None,
+                   help="virtual CPU device count (with --platform cpu)")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() for multi-host runs")
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="rendezvous address for --multihost (default: "
+                        "cluster auto-detection)")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="process count for --multihost with --coordinator")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="this process's id for --multihost with --coordinator")
     p.add_argument("--out", default="-", help="output PPM path ('-' = stdout)")
     p.add_argument("--png", default=None, help="also write a PNG here")
     p.add_argument("--no-output", action="store_true", help="render + report timing only")
@@ -107,10 +120,24 @@ def config_from_args(args) -> RenderConfig:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    if args.platform != "auto":
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+        if args.num_devices and args.platform == "cpu":
+            jax.config.update("jax_num_cpu_devices", args.num_devices)
+
     if args.multihost:
         import jax
 
-        jax.distributed.initialize()
+        if args.coordinator:
+            jax.distributed.initialize(
+                coordinator_address=args.coordinator,
+                num_processes=args.num_processes,
+                process_id=args.process_id,
+            )
+        else:
+            jax.distributed.initialize()
 
     import jax
     import jax.numpy as jnp
@@ -190,9 +217,15 @@ def main(argv=None) -> int:
         return 0
 
     from ray_tracing_in_one_weekend_tpu.ops.image import to_uint8
+    from ray_tracing_in_one_weekend_tpu.parallel.dist import fetch_image
     from ray_tracing_in_one_weekend_tpu.utils import ppm
 
-    u8 = np.asarray(to_uint8(img))
+    # Multi-host: gather the sharded framebuffer (DCN all-gather), then
+    # host 0 alone owns stdout/files (SURVEY.md §2.3 host-0 contract).
+    full = fetch_image(img)
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return 0
+    u8 = np.asarray(to_uint8(full))
     if args.png:
         from PIL import Image
 
