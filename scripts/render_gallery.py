@@ -1,0 +1,95 @@
+"""Render the repo's gallery artifact: the reference CPU workload
+(1200x800, aperture 0.1, 500 spp, depth 50 — reference:
+src/cpu/main.cc:82-99) through the Pallas kernel on TPU, plus a
+jnp-backend render, and report per-pixel statistics against the
+reference golden (tests/goldens/ref_cpu_cover_1200x800_500spp.png,
+rendered by the reference's own cpu_ray_tracer with its fixed
+mt19937(5489) seed — BASELINE.md).
+
+The committed artifact (gallery/cover_1200x800_500spp_pallas.png) is
+validated in CI by tests/test_golden_fullres.py.
+
+Usage: python scripts/render_gallery.py [spp] [--jnp-too]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+import numpy as np
+
+
+def _stats(ours: np.ndarray, ref: np.ndarray, label: str) -> None:
+    diff = np.abs(ours.astype(np.int32) - ref.astype(np.int32))
+    print(
+        f"{label}: MAD {diff.mean():.3f}  p50 {np.percentile(diff, 50):.0f}  "
+        f"p99 {np.percentile(diff, 99):.0f}  p99.9 {np.percentile(diff, 99.9):.0f}  "
+        f"max {diff.max()}  (8-bit levels)",
+        file=sys.stderr,
+    )
+
+
+def main() -> None:
+    spp = int(sys.argv[1]) if len(sys.argv) > 1 else 500
+    jnp_too = "--jnp-too" in sys.argv
+
+    from PIL import Image
+
+    from ray_tracing_in_one_weekend_tpu.models.scene import cover_scene_reference
+    from ray_tracing_in_one_weekend_tpu.ops.image import to_uint8
+    from ray_tracing_in_one_weekend_tpu.ops.pallas_render import render_pallas
+    from ray_tracing_in_one_weekend_tpu.utils.config import (
+        PRESETS,
+        make_camera_from_config,
+    )
+
+    # The reference CPU workload: 1200x800, aperture 0.1, focus 10
+    # (reference: src/cpu/main.cc:82-99) on the bit-exact mt19937 scene.
+    config = PRESETS["cpu"]
+    scene = cover_scene_reference()
+    cam = make_camera_from_config(config)
+    ref = np.asarray(
+        Image.open("tests/goldens/ref_cpu_cover_1200x800_500spp.png")
+    )[..., :3]
+
+    os.makedirs("gallery", exist_ok=True)
+    interpret = jax.devices()[0].platform != "tpu"
+    print(
+        f"gallery: {cam.image_width}x{cam.image_height} spp={spp} "
+        f"depth={cam.max_depth} platform={jax.devices()[0].platform}",
+        file=sys.stderr,
+    )
+
+    t0 = time.perf_counter()
+    img = render_pallas(scene, cam, seed=0, spp=spp, interpret=interpret)
+    u8 = np.asarray(to_uint8(img))
+    t = time.perf_counter() - t0
+    mrays = cam.image_width * cam.image_height * spp / t / 1e6
+    print(f"gallery[pallas]: {t:.1f}s ({mrays:.1f} Mrays/s incl compile)",
+          file=sys.stderr)
+    Image.fromarray(u8).save(f"gallery/cover_1200x800_{spp}spp_pallas.png")
+    _stats(u8, ref, f"pallas {spp}spp vs reference golden")
+
+    if jnp_too:
+        from ray_tracing_in_one_weekend_tpu.ops.render import render_image
+
+        t0 = time.perf_counter()
+        img_j = render_image(scene, cam, 0)
+        u8_j = np.asarray(to_uint8(img_j))
+        t = time.perf_counter() - t0
+        print(f"gallery[jnp]: {t:.1f}s", file=sys.stderr)
+        Image.fromarray(u8_j).save(f"gallery/cover_1200x800_{spp}spp_jnp.png")
+        _stats(u8_j, ref, f"jnp {spp}spp vs reference golden")
+        _stats(u8_j, u8, f"jnp vs pallas ({spp}spp)")
+
+
+if __name__ == "__main__":
+    main()

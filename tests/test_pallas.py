@@ -162,3 +162,127 @@ def test_defocus_blur_pallas():
         return np.abs(np.diff(img, axis=1))
 
     assert hgrad(blur).max() < hgrad(sharp).max()
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-material probes (round-3): paths constructed so the
+# material's RNG draw is irrelevant, giving CLOSED-FORM expected radiance
+# both backends must hit to ~1e-3 — a few-percent single-material
+# radiance bug cannot hide inside Monte-Carlo noise here.
+# ---------------------------------------------------------------------------
+
+
+def _sky(d):
+    """Closed-form sky gradient (reference: src/gpu/camera.h:118-124)."""
+    d = np.asarray(d, np.float64)
+    d = d / np.linalg.norm(d)
+    a = 0.5 * (d[1] + 1.0)
+    return (1.0 - a) * np.array([1.0, 1.0, 1.0]) + a * np.array([0.5, 0.7, 1.0])
+
+
+def _pixel_dir(cam, px, py):
+    """Mean (jitter-free) camera ray direction of pixel (px, py)."""
+    p = (
+        np.asarray(cam.pixel00_loc)
+        + px * np.asarray(cam.pixel_delta_u)
+        + py * np.asarray(cam.pixel_delta_v)
+    )
+    d = p - np.asarray(cam.center)
+    return d / np.linalg.norm(d)
+
+
+def test_fuzz0_mirror_probe():
+    """Fuzz-0 metal scatter is DETERMINISTIC (reflect only): radiance =
+    albedo * sky(reflect(d)). The only randomness left is the +-0.5px
+    jitter, which averages out over spp on the smooth sky. Checks both
+    backends against the closed form and against each other, per pixel."""
+    albedo = np.array([0.8, 0.6, 0.2])
+    sc = scene_lib.from_spheres(
+        centers=[[0.0, 0.0, -3.0]],
+        radii=[1.0],
+        mat_types=[1],
+        albedos=[albedo.tolist()],
+        fuzzes=[0.0],
+        pad_to=128,
+    )
+    cam = _cam(width=32, spp=64, vfov_degrees=20.0, lookat=(0, 0, -3.0))
+    img_p = np.asarray(render_pallas(sc, cam, seed=0, tile=256, interpret=True))
+    img_j = np.asarray(render(sc, cam, KEY, chunk_size=512))
+    h, w = img_p.shape[:2]
+    cx, cy = w // 2, h // 2
+    # Closed form at the central pixel: head-on hit at (0,0,-2),
+    # normal (0,0,1), reflect sends the ray straight back -> sky(+z).
+    d = _pixel_dir(cam, cx, cy)
+    t_hit = -np.dot(d, [0, 0, 1]) * 3.0 - np.sqrt(
+        (np.dot(d, [0, 0, 1]) * 3.0) ** 2 - 9.0 + 1.0
+    )
+    p_hit = t_hit * d + np.asarray(cam.center)
+    n = p_hit - np.array([0.0, 0.0, -3.0])
+    n /= np.linalg.norm(n)
+    refl = d - 2 * np.dot(d, n) * n
+    expected = albedo * _sky(refl)
+    for img, name in ((img_p, "pallas"), (img_j, "jnp")):
+        np.testing.assert_allclose(
+            img[cy, cx], expected, atol=3e-3,
+            err_msg=f"{name} center-pixel mirror radiance",
+        )
+    # Per-pixel agreement across the whole sphere interior (a 5x5 block
+    # around the center is safely inside the silhouette).
+    np.testing.assert_allclose(
+        img_p[cy - 2 : cy + 3, cx - 2 : cx + 3],
+        img_j[cy - 2 : cy + 3, cx - 2 : cx + 3],
+        atol=3e-3,
+    )
+
+
+def test_ior1_dielectric_passthrough_probe():
+    """A dielectric with ior=1 bends nothing and (away from grazing)
+    Schlick reflectance is ~(1-cos)^5 < 1e-8, so EVERY sample refracts
+    straight through: glass is invisible and radiance = sky(d) exactly.
+    Exercises the full refract/Schlick/TIR code path deterministically."""
+    sc = scene_lib.from_spheres(
+        centers=[[0.0, 0.0, -10.0]],
+        radii=[1.0],
+        mat_types=[2],
+        albedos=[[1.0, 1.0, 1.0]],
+        iors=[1.0],
+        pad_to=128,
+    )
+    # vfov small: the sphere subtends ~11 deg, central rays hit with
+    # cos(theta) > 0.97.
+    cam = _cam(width=32, spp=32, vfov_degrees=8.0, lookat=(0, 0, -10.0), max_depth=8)
+    img_p = np.asarray(render_pallas(sc, cam, seed=0, tile=256, interpret=True))
+    img_j = np.asarray(render(sc, cam, KEY, chunk_size=512))
+    h, w = img_p.shape[:2]
+    cy, cx = h // 2, w // 2
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            expected = _sky(_pixel_dir(cam, cx + dx, cy + dy))
+            np.testing.assert_allclose(
+                img_p[cy + dy, cx + dx], expected, atol=3e-3,
+                err_msg="pallas ior=1 passthrough",
+            )
+            np.testing.assert_allclose(
+                img_j[cy + dy, cx + dx], expected, atol=3e-3,
+                err_msg="jnp ior=1 passthrough",
+            )
+
+
+def test_black_lambertian_absorbs_exactly():
+    """albedo=0 lambertian: the first bounce zeroes the attenuation, so
+    every path through the sphere contributes EXACTLY 0 — bit-exact in
+    both backends regardless of RNG."""
+    sc = scene_lib.from_spheres(
+        centers=[[0.0, 0.0, -3.0]],
+        radii=[1.0],
+        mat_types=[0],
+        albedos=[[0.0, 0.0, 0.0]],
+        pad_to=128,
+    )
+    cam = _cam(width=32, spp=8, vfov_degrees=20.0, lookat=(0, 0, -3.0))
+    img_p = np.asarray(render_pallas(sc, cam, seed=0, tile=256, interpret=True))
+    img_j = np.asarray(render(sc, cam, KEY, chunk_size=512))
+    h, w = img_p.shape[:2]
+    cy, cx = h // 2, w // 2
+    assert np.all(img_p[cy - 3 : cy + 4, cx - 3 : cx + 4] == 0.0)
+    assert np.all(img_j[cy - 3 : cy + 4, cx - 3 : cx + 4] == 0.0)
