@@ -84,13 +84,16 @@ P_ROWS = 16  # a multiple of 8 sublanes
 # Per-lane resumable state layout (the kernel's in/out contract; see the
 # persistent-sample loop). Float block rows: ray origin, unit direction,
 # running attenuation, radiance accumulated so far (sum over this lane's
-# retired samples), while-loop trip count (diagnostics, out only). Int
-# block rows: global pixel id, samples started, RNG stream low word,
-# bounce depth of the live ray, busy flag, RNG stream high word (the two
-# stream words make a 64-bit-equivalent state — see module docstring).
+# retired samples), while-loop trip count (diagnostics, out only),
+# cumulative busy-iteration count (the lane's work-rate signal for the
+# compaction scheduler, carried across passes). Int block rows: global
+# pixel id, samples started, RNG stream low word, bounce depth of the
+# live ray, busy flag, RNG stream high word (the two stream words make a
+# 64-bit-equivalent state — see module docstring).
 _SF_O, _SF_D, _SF_ATT, _SF_RAD = 0, 3, 6, 9
 _SF_ITERS = 12
-SF_ROWS = 16  # 13 used, padded to sublane multiple
+_SF_WORK = 13
+SF_ROWS = 16  # 14 used, padded to sublane multiple
 _SI_PIX, _SI_STARTED, _SI_STREAM, _SI_DEPTH, _SI_BUSY, _SI_STREAM2 = range(6)
 SI_ROWS = 8
 
@@ -279,19 +282,22 @@ def _sweep_ts(o, d, pt_ref, n_chunks):
         half_b = o_dot_d - d_dot_c  # [128, T]
         cc = o_sq + cc_part  # [128, T]
         disc = half_b * half_b - cc
-        sqrt_d = jnp.sqrt(jnp.maximum(disc, 0.0))
+        # NaN-as-miss: sqrt(disc < 0) = NaN (no real root — including
+        # every padding slot, which has r^2 = -1 so disc <= -1). Every
+        # comparison against NaN is false in IEEE (identically compiled
+        # and interpreted), so NaN lanes fall through both `>` selects
+        # to T_MISS with no explicit disc > 0 test — 3 fewer VPU slab
+        # ops on the hottest [CHUNK, T] path. Exact-tangent hits
+        # (disc == 0) now count as hits instead of misses; a
+        # measure-zero boundary the reference also treats arbitrarily.
+        sqrt_d = jnp.sqrt(disc)
         root_near = -half_b - sqrt_d
         root_far = -half_b + sqrt_d
         # Nearest root strictly beyond the shadow-acne epsilon
         # (reference: src/gpu/hittable_list.h:49-65 — the shrinking
         # closest_so_far interval becomes the global min below).
-        # When disc <= 0 (no real root — including every padding
-        # slot, which has r^2 = -1 so disc <= -1) both roots
-        # degenerate to -half_b; the explicit disc > 0 term in
-        # `valid` rejects them.
         t_c = jnp.where(root_near > T_MIN_EPS, root_near, root_far)
-        valid = (disc > 0.0) & (t_c > T_MIN_EPS)
-        t_cs.append(jnp.where(valid, t_c, T_MISS))
+        t_cs.append(jnp.where(t_c > T_MIN_EPS, t_c, T_MISS))
     return t_cs
 
 
@@ -320,9 +326,11 @@ def _select_hit(p_ref, t_cs):
 
     # One-hot param gather over ALL spheres on the MXU. Miss lanes
     # (t_best == T_MISS): every t_c row equals T_MISS too, so the
-    # `< T_MISS` guard zeroes the one-hot column -> params 0.
+    # broadcast `hit_row` guard zeroes the one-hot column -> params 0.
+    # (One [1, T] compare instead of a [CHUNK, T] `< T_MISS` per chunk.)
+    hit_row = t_best < T_MISS
     onehot = jnp.concatenate(
-        [(t_c <= t_best) & (t_c < T_MISS) for t_c in t_cs], axis=0
+        [(t_c <= t_best) & hit_row for t_c in t_cs], axis=0
     )  # [N, T]
     params = jax.lax.dot_general(
         p_ref[:, :],  # [16, N]
@@ -514,6 +522,7 @@ def _render_kernel(
     d = sf_ref[_SF_D : _SF_D + 3, :]
     atten = sf_ref[_SF_ATT : _SF_ATT + 3, :]
     rad = sf_ref[_SF_RAD : _SF_RAD + 3, :]
+    work = sf_ref[_SF_WORK : _SF_WORK + 1, :]
 
     # Idle lanes with samples left start one NOW — the first iteration of
     # the bottom-of-loop regeneration, hoisted out of the loop. On a
@@ -542,6 +551,7 @@ def _render_kernel(
         d,
         atten,
         rad,
+        work,
     )
 
     def cond(state):
@@ -550,9 +560,13 @@ def _render_kernel(
         return (iters < budget) & (jnp.max(busy_f) > 0.0)
 
     def body(state):
-        iters, started, stream_lo, stream_hi, depth, busy_f, o, d, atten, rad = state
+        (iters, started, stream_lo, stream_hi, depth, busy_f,
+         o, d, atten, rad, work) = state
         stream = (stream_lo, stream_hi)
         busy = busy_f > 0.0
+        # Per-lane busy-iteration counter: the compaction scheduler's
+        # work-rate signal (bounces executed so far / samples started).
+        work = work + busy_f
 
         t_best, params = closest_hit(o, d)
         hit = t_best < (T_MISS * 0.5)  # [1, T]
@@ -607,11 +621,11 @@ def _render_kernel(
         d = jnp.where(regen, d2, d)
         busy = cont | regen
         return (iters + 1, started, stream_lo, stream_hi, depth,
-                busy.astype(jnp.float32), o, d, atten, rad)
+                busy.astype(jnp.float32), o, d, atten, rad, work)
 
     state = jax.lax.while_loop(cond, body, state)
     (iters, started, stream_lo, stream_hi, depth, busy_f,
-     o, d, atten, rad) = state
+     o, d, atten, rad, work) = state
 
     # Raw lane state out — the resume/compaction contract. Radiance rides
     # in the state (raw sum over this lane's retired samples across ALL
@@ -626,8 +640,9 @@ def _render_kernel(
     of_ref[_SF_ITERS : _SF_ITERS + 1, :] = jnp.full(
         (1, tile), 1.0, jnp.float32
     ) * iters.astype(jnp.float32)
-    of_ref[_SF_ITERS + 1 : SF_ROWS, :] = jnp.zeros(
-        (SF_ROWS - _SF_ITERS - 1, tile), jnp.float32
+    of_ref[_SF_WORK : _SF_WORK + 1, :] = work
+    of_ref[_SF_WORK + 1 : SF_ROWS, :] = jnp.zeros(
+        (SF_ROWS - _SF_WORK - 1, tile), jnp.float32
     )
     oi_ref[_SI_PIX : _SI_PIX + 1, :] = pix
     oi_ref[_SI_STARTED : _SI_STARTED + 1, :] = started
@@ -710,6 +725,88 @@ def _init_state(pixel_offset, padded, n_pixels_total, spp):
     return sf, si
 
 
+def _compact(sf, si, tile, spp):
+    """Tail compaction: densify unfinished lanes into front tiles
+    without a global lane sort.
+
+    A global stable lane `argsort` over the ~1M-lane buffer costs ~50ms
+    on a v5e — a third of the whole bench render per compaction (XLA's
+    TPU sort is a multi-stage bitonic network over the full array).
+    Rejected alternatives, both measured slower end-to-end on the bench
+    scene: a global rank-transpose interleave (mixes sky lanes with
+    deep-glass lanes from across the image into every tile; per-tile
+    max queue balloons ~40%) and group-local interleaves (preserve
+    coherence but leave ragged density). What ships is a two-level
+    scheme that matches the global sort's density to within one partial
+    block per source tile at ~none of its cost — see the inline
+    comments.
+
+    Purely a lane permutation — the image is bit-identical (lane state
+    carries global pixel ids; the final unscramble gathers by pixel
+    id).
+    """
+    padded = sf.shape[1]
+    n_tiles = padded // tile
+    # 128-lane blocks: the granularity of the global reorder. One
+    # vector-lane row — block moves are contiguous, and a 1-block
+    # density loss per source tile is the scheme's only slack.
+    BLOCK = 128
+    blocks_per_tile = tile // BLOCK
+    n_blocks = padded // BLOCK
+
+    unfinished = (si[_SI_BUSY] > 0) | (si[_SI_STARTED] < spp)
+
+    # Per-lane remaining-work estimate: measured bounce rate (busy
+    # iterations executed per sample started, the _SF_WORK counter)
+    # times samples left. Spatial adjacency alone leaves tiles
+    # heterogeneous — one 2048-lane tile spans ~2 image rows crossing
+    # sky, ground and glass, whose queues differ 5-10x — so tiles
+    # capped by a budget idle their cheap lanes against their deep
+    # ones. Rate-sorting clusters lanes of similar remaining work.
+    started_f = jnp.maximum(si[_SI_STARTED].astype(jnp.float32), 1.0)
+    remaining = (sf[_SF_WORK] / started_f) * (
+        spp - si[_SI_STARTED] + si[_SI_BUSY]
+    ).astype(jnp.float32)
+
+    # 1. Sort each tile's lanes: unfinished first, deepest remaining
+    #    work first — 469 independent row sorts, ~ms total.
+    lane_key = jnp.where(unfinished, -remaining, jnp.float32(jnp.inf))
+    lane_order = jnp.argsort(
+        lane_key.reshape(n_tiles, tile), axis=1, stable=True
+    )  # [n_tiles, tile]
+
+    # 2. Globally stable-sort the BLOCKS by descending total remaining
+    #    work: deep dense blocks first, shallow blocks later (their
+    #    tiles retire early), dead blocks (zero work) last. A ~7.5k-
+    #    element sort is ~free; the payload move is a block-contiguous
+    #    gather. This matches a global stable lane-argsort's density to
+    #    within one partial block per source tile while avoiding its
+    #    ~50ms-per-call cost on ~1M lanes (measured on a v5e; a third
+    #    of the whole bench render) — and beats it on tile homogeneity,
+    #    which pixel order alone does not provide.
+    rem_sorted = jnp.take_along_axis(
+        jnp.where(unfinished, remaining, 0.0).reshape(n_tiles, tile),
+        lane_order, axis=1,
+    )
+    block_work = jnp.sum(rem_sorted.reshape(n_blocks, BLOCK), axis=1)
+    block_order = jnp.argsort(-block_work, stable=True)  # [n_blocks]
+    del blocks_per_tile
+
+    def permute(x):
+        # int rows (RNG stream words use all 32 bits) must not
+        # round-trip through float; permute the two buffers separately.
+        x = jnp.take_along_axis(
+            x.reshape(x.shape[0], n_tiles, tile), lane_order[None], axis=2
+        )
+        x = jnp.take_along_axis(
+            x.reshape(x.shape[0], n_blocks, BLOCK),
+            block_order[None, :, None], axis=1,
+        )
+        return x.reshape(x.shape[0], padded)
+
+    return permute(sf), permute(si)
+
+
 def _multipass(p_mat, pt_mat, cam_vec, scalars, sf, si, tile, spp, max_depth, budget, n_passes, interpret):
     """Budgeted kernel passes with tail compaction between them.
 
@@ -717,16 +814,15 @@ def _multipass(p_mat, pt_mat, cam_vec, scalars, sf, si, tile, spp, max_depth, bu
     queue — the deep-bounce tail (dielectric/metal chains, ~47 bounces
     on the cover scene vs a ~5.7 mean) idles >90% of lanes for the last
     ~100 iterations. Instead each pass stops after `budget` iterations;
-    unfinished lanes (a few %) are compacted to the front of the state
-    buffer, so the next pass runs them shoulder-to-shoulder in a handful
-    of dense tiles while the dead tail exits at iteration 0. The final
-    pass runs unbudgeted (spp*max_depth bounds any lane's remaining
-    queue) to guarantee completion. Everything here jits — no host
+    unfinished lanes are compacted into dense workload-sorted front
+    tiles (see _compact), so the next pass runs them shoulder-to-
+    shoulder while the dead tail exits at iteration 0. The final pass
+    runs unbudgeted (spp*max_depth bounds any lane's remaining queue)
+    to guarantee completion. Everything here jits — no host
     round-trips, shapes static, usable as-is inside shard_map.
 
     Returns the per-pixel radiance sum / spp as [3, padded], indexed by
     LOCAL pixel id (global id - scalars[1])."""
-    padded = sf.shape[1]
     final_budget = spp * max_depth
     for p in range(n_passes):
         b = budget if p < n_passes - 1 else final_budget
@@ -735,13 +831,7 @@ def _multipass(p_mat, pt_mat, cam_vec, scalars, sf, si, tile, spp, max_depth, bu
             tile, spp, max_depth, b, interpret,
         )
         if p < n_passes - 1:
-            # Stable compaction: unfinished lanes to the front, in order.
-            unfinished = (si[_SI_BUSY] > 0) | (si[_SI_STARTED] < spp)
-            order = jnp.argsort(
-                jnp.where(unfinished, 0, 1), stable=True
-            )
-            sf = sf[:, order]
-            si = si[:, order]
+            sf, si = _compact(sf, si, tile, spp)
     # Unscramble: lane pixel ids are a permutation of the slab, so
     # sort-by-pixel-id is a gather straight into image order.
     local_pix = si[_SI_PIX] - scalars[1]
@@ -760,16 +850,17 @@ _multipass_jit = jax.jit(
 
 # Default budgeted passes before the unbudgeted finisher. 1 disables
 # compaction (single run-to-completion pass, the pre-compaction behavior).
-DEFAULT_PASSES = 3
+DEFAULT_PASSES = 4
 
 
 def _default_budget(spp: int) -> int:
-    # Mean lane queue on the cover scene is ~2.9 iterations per sample;
-    # ~3x the mean lets the bulk of lanes finish in pass 1 while the
-    # deep tail falls through to the compacted passes. Swept on a real
-    # v5e at 1200x800x10spp: budget 3.0*spp edges out 2.5x-5x, and the
-    # whole 25-50 range is within 10% — not a sensitive knob.
-    return max(16, 3 * spp)
+    # Mean lane queue on the cover scene is ~2.9 iterations per sample.
+    # With the cheap block compaction (see _compact) the best measured
+    # schedule on a real v5e at 1200x800x10spp is 4 passes at ~2.5x spp
+    # (total tile-iterations 19.1k vs the 13.6k perfect-occupancy
+    # ideal); the 2x-3x budget range is within ~10% — not a sensitive
+    # knob.
+    return max(16, (5 * spp) // 2)
 
 
 def render_pallas(
