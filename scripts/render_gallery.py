@@ -79,11 +79,34 @@ def main() -> None:
     _stats(u8, ref, f"pallas {spp}spp vs reference golden")
 
     if jnp_too:
-        from ray_tracing_in_one_weekend_tpu.ops.render import render_image
+        import jax.numpy as jnp
 
+        from ray_tracing_in_one_weekend_tpu.ops.render import render_flat
+
+        # Batch the jnp render over sample slices with host-side
+        # accumulation: one monolithic 500-spp dispatch runs minutes on
+        # the tunneled TPU and can trip the worker's RPC deadline
+        # (observed worker crash); the batched form draws the SAME
+        # global sample streams (render_pixels keys on global sample
+        # index), so the average is bit-equivalent up to f32 summation
+        # order.
+        import jax as _jax
+
+        n_pix = cam.image_width * cam.image_height
+        batch = 25
+        pix = jnp.arange(n_pix)
+        key = _jax.random.key(0)
         t0 = time.perf_counter()
-        img_j = render_image(scene, cam, 0)
-        u8_j = np.asarray(to_uint8(img_j))
+        acc = np.zeros((n_pix, 3), np.float64)
+        for s0 in range(0, spp, batch):
+            part = render_flat(
+                scene, cam, pix, key, spp=batch, sample_offset=s0
+            )
+            acc += np.asarray(part, np.float64) * batch
+            print(f"gallery[jnp]: samples [{s0}, {s0 + batch})",
+                  file=sys.stderr)
+        img_j = (acc / spp).reshape(cam.image_height, cam.image_width, 3)
+        u8_j = np.asarray(to_uint8(jnp.asarray(img_j, jnp.float32)))
         t = time.perf_counter() - t0
         print(f"gallery[jnp]: {t:.1f}s", file=sys.stderr)
         Image.fromarray(u8_j).save(f"gallery/cover_1200x800_{spp}spp_jnp.png")

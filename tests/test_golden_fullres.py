@@ -1,0 +1,62 @@
+"""Full-fidelity golden parity: the committed gallery render vs the
+reference's own output.
+
+`gallery/cover_1200x800_500spp_pallas.png` is rendered on a real TPU by
+scripts/render_gallery.py — the reference CPU workload (1200x800,
+aperture 0.1, 500 spp, depth 50, reference: src/cpu/main.cc:82-99) on
+the bit-exact mt19937(5489) replay scene (models/scene.py,
+tests/test_golden.py). The golden
+`tests/goldens/ref_cpu_cover_1200x800_500spp.png` is the reference
+cpu_ray_tracer's own render of the same scene (BASELINE.md).
+
+Tolerance rationale: the two images are INDEPENDENT 500-sample
+Monte-Carlo estimates of the same pixel integrals (different RNG
+streams by design — ours are counter-based, the reference's are
+mt19937 rejection samplers; equal in law, documented in
+ops/sampling.py). The per-pixel difference is therefore pure
+Monte-Carlo noise ~ sqrt(2) * sigma_pixel / sqrt(500). Measured on the
+real render: MAD 1.91 8-bit levels, p50 1, p99 19, max 159 — the tail
+lives on defocus-blurred silhouettes and glass caustic edges where
+sigma_pixel is large. Bounds below are set ~30% above measurement; a
+material/geometry bug (wrong Schlick, flipped normal, bad scene table)
+shifts whole regions and blows MAD/p99 far past them.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_GALLERY = os.path.join(
+    os.path.dirname(_HERE), "gallery", "cover_1200x800_500spp_pallas.png"
+)
+_GOLDEN = os.path.join(
+    _HERE, "goldens", "ref_cpu_cover_1200x800_500spp.png"
+)
+
+
+def _load(path):
+    Image = pytest.importorskip("PIL.Image")
+    return np.asarray(Image.open(path))[..., :3].astype(np.int32)
+
+
+def test_gallery_artifact_matches_reference_golden():
+    ours = _load(_GALLERY)
+    ref = _load(_GOLDEN)
+    assert ours.shape == ref.shape == (800, 1200, 3)
+    diff = np.abs(ours - ref)
+    mad = diff.mean()
+    p99 = np.percentile(diff, 99)
+    assert mad < 2.5, f"MAD {mad:.2f} 8-bit levels vs reference golden"
+    assert p99 <= 25, f"p99 {p99:.0f} 8-bit levels vs reference golden"
+    assert diff.max() <= 220, f"max {diff.max()} 8-bit levels"
+
+
+def test_gallery_artifact_is_not_degenerate():
+    ours = _load(_GALLERY)
+    # Plausibility guards against a saved-black or clipped artifact.
+    assert 80 < ours.mean() < 220
+    assert ours.std() > 30
