@@ -33,6 +33,9 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 _GALLERY = os.path.join(
     os.path.dirname(_HERE), "gallery", "cover_1200x800_500spp_pallas.png"
 )
+_GALLERY_JNP = os.path.join(
+    os.path.dirname(_HERE), "gallery", "cover_1200x800_500spp_jnp.png"
+)
 _GOLDEN = os.path.join(
     _HERE, "goldens", "ref_cpu_cover_1200x800_500spp.png"
 )
@@ -53,6 +56,30 @@ def test_gallery_artifact_matches_reference_golden():
     assert mad < 2.5, f"MAD {mad:.2f} 8-bit levels vs reference golden"
     assert p99 <= 25, f"p99 {p99:.0f} 8-bit levels vs reference golden"
     assert diff.max() <= 220, f"max {diff.max()} 8-bit levels"
+
+
+def test_jnp_gallery_artifact_matches_reference_golden():
+    ours = _load(_GALLERY_JNP)
+    ref = _load(_GOLDEN)
+    assert ours.shape == ref.shape == (800, 1200, 3)
+    diff = np.abs(ours - ref)
+    # Measured: MAD 1.74, p99 17, max 135.
+    assert diff.mean() < 2.5
+    assert np.percentile(diff, 99) <= 25
+    assert diff.max() <= 220
+
+
+def test_backends_agree_at_full_fidelity():
+    """Pallas vs jnp at 500 spp: same geometry, materials and camera;
+    only the RNG streams differ (PCG vs threefry), so the gap must be
+    tighter than either backend's gap to the reference (measured:
+    MAD 1.31, p99 9, max 138)."""
+    a = _load(_GALLERY)
+    b = _load(_GALLERY_JNP)
+    diff = np.abs(a - b)
+    assert diff.mean() < 2.0
+    assert np.percentile(diff, 99) <= 15
+    assert diff.max() <= 200
 
 
 def test_gallery_artifact_is_not_degenerate():
