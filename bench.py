@@ -85,6 +85,12 @@ def main() -> None:
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"
     _log(f"bench: platform={dev.platform} device={dev}")
+    # Tiny warm-up dispatch + fetch: exercises the device RPC path
+    # before the first multi-second program (the tunneled TPU plugin
+    # has been observed to wedge a fresh process's first large
+    # dispatch; a failed warm-up fails fast instead of hanging the
+    # whole bench).
+    _log(f"bench: warmup {float(jnp.sum(jnp.ones((8, 128)))):.0f}")
     _log(
         f"bench: {config.image_width}x{config.image_height} "
         f"spp={config.samples_per_pixel} depth={config.max_depth} "
