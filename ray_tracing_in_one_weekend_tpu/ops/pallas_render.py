@@ -790,7 +790,11 @@ def _compact(sf, si, tile, spp):
     )
     block_work = jnp.sum(rem_sorted.reshape(n_blocks, BLOCK), axis=1)
     block_order = jnp.argsort(-block_work, stable=True)  # [n_blocks]
-    del blocks_per_tile
+    # The (n_blocks, BLOCK) reshapes above and the per-tile lane sorts
+    # only line up when tiles are whole numbers of blocks.
+    assert tile % BLOCK == 0 and blocks_per_tile > 0, (
+        f"tile ({tile}) must be a positive multiple of {BLOCK}"
+    )
 
     def permute(x):
         # int rows (RNG stream words use all 32 bits) must not

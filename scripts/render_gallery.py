@@ -99,11 +99,15 @@ def main() -> None:
         t0 = time.perf_counter()
         acc = np.zeros((n_pix, 3), np.float64)
         for s0 in range(0, spp, batch):
+            # Last batch may be partial when spp is not a multiple of
+            # `batch`; weight each batch by its true sample count so the
+            # final /spp mean stays correct for any CLI spp.
+            b = min(batch, spp - s0)
             part = render_flat(
-                scene, cam, pix, key, spp=batch, sample_offset=s0
+                scene, cam, pix, key, spp=b, sample_offset=s0
             )
-            acc += np.asarray(part, np.float64) * batch
-            print(f"gallery[jnp]: samples [{s0}, {s0 + batch})",
+            acc += np.asarray(part, np.float64) * b
+            print(f"gallery[jnp]: samples [{s0}, {s0 + b})",
                   file=sys.stderr)
         img_j = (acc / spp).reshape(cam.image_height, cam.image_width, 3)
         u8_j = np.asarray(to_uint8(jnp.asarray(img_j, jnp.float32)))

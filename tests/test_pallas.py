@@ -286,3 +286,65 @@ def test_black_lambertian_absorbs_exactly():
     cy, cx = h // 2, w // 2
     assert np.all(img_p[cy - 3 : cy + 4, cx - 3 : cx + 4] == 0.0)
     assert np.all(img_j[cy - 3 : cy + 4, cx - 3 : cx + 4] == 0.0)
+
+
+def test_sweep_ts_negative_disc_is_miss():
+    """NaN-as-miss contract of `_sweep_ts` at the unit level.
+
+    The kernel relies on sqrt(disc < 0) = NaN falling through both
+    `>` selects to T_MISS (IEEE compare-with-NaN is false). That is
+    load-bearing on the compiler never enabling fast-math NaN rewrites
+    (ADVICE r3): this test shoots rays with guaranteed-negative
+    discriminant (pointing directly away from every sphere) through the
+    REAL `_sweep_ts` code path in a minimal interpret-mode kernel and
+    asserts every candidate t — including the padding slots, whose
+    r^2 = -1 makes disc <= -1 for ANY unit ray — comes out T_MISS.
+    A head-on control ray checks the hit branch still produces the
+    analytic root.
+    """
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ray_tracing_in_one_weekend_tpu.ops.pallas_render import (
+        CHUNK,
+        P_ROWS,
+        T_MISS,
+        _sweep_ts,
+    )
+
+    sc = scene_lib.single_sphere_scene(pad_to=128)  # sphere (0,0,-1) r=0.5
+    p_mat = pack_scene(sc)
+    n = p_mat.shape[1]
+    tile = 128
+
+    # Lane 0: straight up (misses, disc < 0). Lane 1: straight back
+    # (+z, disc < 0). Lane 2: head-on at the sphere (hits, t = 0.5).
+    o = np.zeros((3, tile), np.float32)
+    d = np.zeros((3, tile), np.float32)
+    d[1, 0] = 1.0
+    d[2, 1] = 1.0
+    d[2, 2] = -1.0
+    d[0, 3:] = 1.0  # remaining lanes: +x, also guaranteed misses
+
+    def kernel(pt_ref, o_ref, d_ref, out_ref, *, n_chunks):
+        t_cs = _sweep_ts(o_ref[:, :], d_ref[:, :], pt_ref, n_chunks)
+        out_ref[:, :] = jnp.concatenate(t_cs, axis=0)
+
+    ts = pl.pallas_call(
+        functools.partial(kernel, n_chunks=n // CHUNK),
+        out_shape=jax.ShapeDtypeStruct((n, tile), jnp.float32),
+        interpret=pltpu.InterpretParams(),
+    )(jnp.asarray(p_mat.T), jnp.asarray(o), jnp.asarray(d))
+    ts = np.asarray(ts)
+
+    assert np.all(np.isfinite(ts)), "NaNs must not escape _sweep_ts"
+    # Every (sphere, ray) pair is a miss except (sphere 0, lane 2).
+    hit_mask = np.zeros((n, tile), bool)
+    hit_mask[0, 2] = True
+    assert np.all(ts[~hit_mask] == T_MISS), (
+        "negative-discriminant rays (incl. all r^2=-1 padding slots) "
+        "must yield T_MISS"
+    )
+    np.testing.assert_allclose(ts[0, 2], 0.5, rtol=1e-6)
