@@ -397,9 +397,11 @@ class _DiffCfg(NamedTuple):
     slab, or the whole image single-chip); `n_pixels_total` the whole
     image's pixel count (lanes with global id beyond it are born dead).
     `spp` is the LOCAL sample count of this call (a shard's slice of the
-    global budget). The pixel/sample offsets are traced arguments, not
-    config: shard_map traces ONE program for all shards, so anything
-    that varies per shard must be data.
+    global budget). The pixel/sample offsets AND the seed are traced
+    arguments, not config: shard_map traces ONE program for all shards,
+    so anything that varies per shard must be data — and a traced seed
+    means re-rendering with a new seed (or sample window) reuses the
+    compiled program.
     """
 
     width: int
@@ -407,7 +409,6 @@ class _DiffCfg(NamedTuple):
     n_pixels_total: int
     spp: int
     max_depth: int
-    seed: int
     tile: int
     n_passes: int
     budget: int
@@ -424,12 +425,12 @@ def _int_zero_cotangent(x):
 def _primal_flat(cfg: _DiffCfg, p_mat, cam_vec, offsets):
     """Fast forward (ops/pallas_render._multipass) -> [3, n_lanes].
 
-    `offsets` = i32 [2]: (global pixel id of lane 0, global sample index
-    of local sample 0). Output is in local-pixel order.
+    `offsets` = i32 [3]: (global pixel id of lane 0, global sample index
+    of local sample 0, seed). Output is in local-pixel order.
     """
     padded = -(-cfg.n_lanes // cfg.tile) * cfg.tile
     scalars = jnp.stack(
-        [jnp.int32(cfg.seed), offsets[0], offsets[1], jnp.int32(0)]
+        [offsets[2], offsets[0], offsets[1], jnp.int32(0)]
     )
     sf, si = _init_state(offsets[0], padded, cfg.n_pixels_total, cfg.spp)
     rad = _multipass(
@@ -463,7 +464,7 @@ def _diff_bwd(cfg, residuals, gbar):
     # skips the replay cost entirely.
     scalars = jnp.stack(
         [
-            jnp.int32(cfg.seed),
+            offsets[2],
             offsets[0],
             offsets[1],
             jnp.minimum(
@@ -480,6 +481,12 @@ def _diff_bwd(cfg, residuals, gbar):
 
 
 _diff_render_flat.defvjp(_diff_fwd, _diff_bwd)
+
+# Jitted entry: without this, every render_pallas_diff call re-traces
+# the whole multipass pipeline eagerly (the same retrace bug shape the
+# round-3 distributed path had). cfg is already the custom_vjp's static
+# argument, so it doubles as the jit cache key.
+_diff_render_flat_jit = jax.jit(_diff_render_flat, static_argnums=(0,))
 
 
 def render_pallas_diff(
@@ -512,7 +519,6 @@ def render_pallas_diff(
         n_pixels_total=n_pixels,
         spp=spp,
         max_depth=max_depth,
-        seed=seed,
         tile=tile,
         n_passes=n_passes,
         budget=budget,
@@ -521,8 +527,8 @@ def render_pallas_diff(
     )
     p_mat = pack_scene(scene)
     cam_vec = jnp.asarray(pack_camera(cam))
-    offsets = jnp.asarray([0, sample_offset], jnp.int32)
-    rad = _diff_render_flat(cfg, p_mat, cam_vec, offsets)  # [3, n_pixels]
+    offsets = jnp.asarray([0, sample_offset, seed], jnp.int32)
+    rad = _diff_render_flat_jit(cfg, p_mat, cam_vec, offsets)  # [3, n_pixels]
     return jnp.transpose(rad).reshape(cam.image_height, cam.image_width, 3)
 
 
@@ -586,7 +592,6 @@ def render_pallas_diff_distributed(
         n_pixels_total=n_pixels,
         spp=spp_local,
         max_depth=max_depth,
-        seed=seed,
         tile=tile,
         n_passes=n_passes,
         budget=budget,
@@ -595,28 +600,48 @@ def render_pallas_diff_distributed(
     )
     p_mat = pack_scene(scene)
     cam_vec = jnp.asarray(pack_camera(cam))
+    base = jnp.asarray([sample_offset, seed], jnp.int32)
+    out = _diff_dist_jit(
+        cfg, p_mat, cam_vec, base, mesh=mesh, n_pix_shards=n_pix_shards
+    )  # [3, n_pix_shards * shard_pixels]
+
+    img = out[:, :n_pixels]
+    return jnp.transpose(img).reshape(h, w, 3)
+
+
+@functools.partial(
+    jax.jit, static_argnums=(0,), static_argnames=("mesh", "n_pix_shards")
+)
+def _diff_dist_jit(cfg: _DiffCfg, p_mat, cam_vec, base, *, mesh, n_pix_shards):
+    """Sharded differentiable render as ONE jitted program, cached on
+    (cfg, mesh) at module level; `base` = i32 [2] (sample_offset, seed)
+    is traced data (same retrace fix as _render_dist_jit)."""
+    from jax.sharding import PartitionSpec as P
+
+    from ray_tracing_in_one_weekend_tpu.parallel.dist import (
+        PIXEL_AXIS,
+        SAMPLE_AXIS,
+    )
+
     slab_offsets = (
-        jnp.arange(n_pix_shards, dtype=jnp.int32) * shard_pixels
+        jnp.arange(n_pix_shards, dtype=jnp.int32) * cfg.n_lanes
     )[:, None]
 
-    def shard_fn(p_mat, cam_vec, slab_offset):
+    def shard_fn(p_mat, cam_vec, base, slab_offset):
         s_idx = jax.lax.axis_index(SAMPLE_AXIS).astype(jnp.int32)
         offsets = jnp.stack(
-            [slab_offset[0, 0], s_idx * spp_local + jnp.int32(sample_offset)]
+            [slab_offset[0, 0], s_idx * cfg.spp + base[0], base[1]]
         )
         rad = _diff_render_flat(cfg, p_mat, cam_vec, offsets)
         return jax.lax.pmean(rad, SAMPLE_AXIS)
 
-    out = jax.shard_map(
+    return jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(PIXEL_AXIS, None)),
+        in_specs=(P(), P(), P(), P(PIXEL_AXIS, None)),
         out_specs=P(None, PIXEL_AXIS),
         check_vma=False,
-    )(p_mat, cam_vec, slab_offsets)  # [3, n_pix_shards * shard_pixels]
-
-    img = out[:, :n_pixels]
-    return jnp.transpose(img).reshape(h, w, 3)
+    )(p_mat, cam_vec, base, slab_offsets)
 
 
 # Scene leaves that receive gradients (matches parallel/dist.DIFF_FIELDS).

@@ -449,7 +449,7 @@ def _camera_ray_block(camc, h0, px, py, s_global, tile):
 
 def _render_kernel(
     seed_ref,  # SMEM [4] int32  (scalar prefetch: seed, pixel_offset
-    #            — used driver-side only — sample_offset, pad)
+    #            — used driver-side only — sample_offset, budget)
     cam_ref,  # SMEM [CAM_LEN] f32 (scalar prefetch)
     p_ref,  # VMEM [16, N] scene param matrix
     pt_ref,  # VMEM [N, 16] transposed params
@@ -462,10 +462,14 @@ def _render_kernel(
     n_spheres: int,
     spp: int,
     max_depth: int,
-    budget: int,
 ):
     camc = _unpack_cam(cam_ref)
     width = camc[-1]
+    # Iteration budget as RUNTIME data (SMEM scalar), not a kernel
+    # static: every pass of _multipass — budgeted or the unbudgeted
+    # finisher — runs the SAME Mosaic program, halving kernel compiles
+    # and letting the scheduler be tuned with zero recompilation.
+    budget = seed_ref[3]
 
     # Each lane carries its GLOBAL flat pixel index in the int state (the
     # compaction passes shuffle lanes, so lane id no longer implies the
@@ -655,11 +659,13 @@ def _render_kernel(
     )
 
 
-def _render_pallas_core(p_mat, pt_mat, cam_vec, scalars, sf, si, tile, spp, max_depth, budget, interpret):
+def _render_pallas_core(p_mat, pt_mat, cam_vec, scalars, sf, si, tile, spp, max_depth, interpret):
     """One budgeted kernel pass over the whole lane-state buffer.
 
-    `scalars` = [seed, pixel_offset, sample_offset, 0] int32 (pixel_offset
-    is consumed by the driver, not the kernel). Returns the advanced
+    `scalars` = [seed, pixel_offset, sample_offset, budget] int32
+    (pixel_offset is consumed by the driver, not the kernel; budget is
+    the pass's while-loop iteration cap, runtime data so all passes
+    share one compiled kernel). Returns the advanced
     (float_state [SF_ROWS, P], int_state [SI_ROWS, P]) lane buffers.
 
     A tile whose lanes are all finished exits the while loop at iteration
@@ -676,7 +682,6 @@ def _render_pallas_core(p_mat, pt_mat, cam_vec, scalars, sf, si, tile, spp, max_
         n_spheres=n_spheres,
         spp=spp,
         max_depth=max_depth,
-        budget=budget,
     )
     of, oi = pl.pallas_call(
         kernel,
@@ -808,7 +813,24 @@ def _compact(sf, si, tile, spp):
         )
         return x.reshape(x.shape[0], padded)
 
-    return permute(sf), permute(si)
+    # Inverse of this compaction's flat lane permutation, so _multipass
+    # can compose per-pass inverses instead of paying a global ~1M-lane
+    # argsort at unscramble time (measured ~50ms on a v5e — comparable
+    # to an entire bench render). The applied permutation is
+    # perm[i] = L[B[i]] (tile-local lane sort, then block gather); its
+    # inverse is inv[j] = invB[invL[j]]. invL costs one int row-argsort
+    # per tile (~ms total), invB a ~n_blocks-element argsort (~free).
+    inv_lane = jnp.argsort(lane_order, axis=1).astype(jnp.int32)
+    inv_lane_flat = (
+        jnp.arange(n_tiles, dtype=jnp.int32)[:, None] * tile + inv_lane
+    ).reshape(-1)
+    inv_block = jnp.argsort(block_order).astype(jnp.int32)
+    inv_block_flat = (
+        inv_block[:, None] * BLOCK
+        + jnp.arange(BLOCK, dtype=jnp.int32)[None, :]
+    ).reshape(-1)
+    inv_perm = inv_block_flat[inv_lane_flat]
+    return permute(sf), permute(si), inv_perm
 
 
 def _multipass(p_mat, pt_mat, cam_vec, scalars, sf, si, tile, spp, max_depth, budget, n_passes, interpret):
@@ -828,20 +850,25 @@ def _multipass(p_mat, pt_mat, cam_vec, scalars, sf, si, tile, spp, max_depth, bu
     Returns the per-pixel radiance sum / spp as [3, padded], indexed by
     LOCAL pixel id (global id - scalars[1])."""
     final_budget = spp * max_depth
+    inv_total = None
     for p in range(n_passes):
         b = budget if p < n_passes - 1 else final_budget
         sf, si = _render_pallas_core(
-            p_mat, pt_mat, cam_vec, scalars, sf, si,
-            tile, spp, max_depth, b, interpret,
+            p_mat, pt_mat, cam_vec, scalars.at[3].set(b), sf, si,
+            tile, spp, max_depth, interpret,
         )
         if p < n_passes - 1:
-            sf, si = _compact(sf, si, tile, spp)
-    # Unscramble: lane pixel ids are a permutation of the slab, so
-    # sort-by-pixel-id is a gather straight into image order.
-    local_pix = si[_SI_PIX] - scalars[1]
-    if n_passes > 1:
-        order = jnp.argsort(local_pix)
-        rad = sf[_SF_RAD : _SF_RAD + 3][:, order]
+            sf, si, inv_perm = _compact(sf, si, tile, spp)
+            # Compose inverse permutations incrementally: after pass k,
+            # lane inv_total[j] holds local pixel j (initial layout is
+            # the identity, so inv_total starts as inv_perm itself).
+            inv_total = (
+                inv_perm if inv_total is None else inv_perm[inv_total]
+            )
+    # Unscramble via the composed inverse permutation — a single gather
+    # straight into image order (no argsort over the lane buffer).
+    if inv_total is not None:
+        rad = sf[_SF_RAD : _SF_RAD + 3][:, inv_total]
     else:
         rad = sf[_SF_RAD : _SF_RAD + 3]
     return rad * (1.0 / spp)
@@ -851,6 +878,37 @@ _multipass_jit = jax.jit(
     _multipass,
     static_argnames=("tile", "spp", "max_depth", "budget", "n_passes", "interpret"),
 )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "tile", "spp", "max_depth", "budget", "n_passes", "interpret",
+        "n_pixels", "padded",
+    ),
+)
+def _render_single_jit(
+    scene, cam_vec, base, *, tile, spp, max_depth, budget, n_passes,
+    interpret, n_pixels, padded,
+):
+    """Whole single-chip render pipeline as ONE jitted program.
+
+    `base` = i32 [2] (seed, sample_offset) — TRACED, so re-renders with
+    a different seed or progressive sample window (utils/checkpoint.py)
+    reuse the compiled program. Scene packing and lane-state init live
+    inside the jit too: no per-call eager dispatches (each eager op is
+    a round-trip on the tunneled TPU platform) and no ~100MB of eager
+    zero-buffer creation per call.
+    """
+    p_mat = pack_scene(scene)
+    scalars = jnp.stack(
+        [base[0], jnp.int32(0), base[1], jnp.int32(0)]
+    )
+    sf, si = _init_state(0, padded, n_pixels, spp)
+    return _multipass(
+        p_mat, p_mat.T, cam_vec, scalars, sf, si,
+        tile, spp, max_depth, budget, n_passes, interpret,
+    )
 
 # Default budgeted passes before the unbudgeted finisher. 1 disables
 # compaction (single run-to-completion pass, the pre-compaction behavior).
@@ -895,18 +953,76 @@ def render_pallas(
     n_pixels = w * h
     padded = -(-n_pixels // tile) * tile
 
-    p_mat = pack_scene(scene)
-    pt_mat = p_mat.T
     cam_vec = jnp.asarray(pack_camera(cam))
-    scalars = jnp.asarray([seed, 0, sample_offset, 0], jnp.int32)
-    sf, si = _init_state(0, padded, n_pixels, spp)
+    base = jnp.asarray([seed, sample_offset], jnp.int32)
 
-    rad = _multipass_jit(
-        p_mat, pt_mat, cam_vec, scalars, sf, si,
-        tile, spp, max_depth, budget, n_passes, interpret,
+    rad = _render_single_jit(
+        scene, cam_vec, base,
+        tile=tile, spp=spp, max_depth=max_depth, budget=budget,
+        n_passes=n_passes, interpret=interpret,
+        n_pixels=n_pixels, padded=padded,
     )
     img = rad[:, :n_pixels]  # [3, n_pixels]
     return jnp.transpose(img).reshape(h, w, 3)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "tile", "spp_local", "max_depth", "budget", "n_passes",
+        "interpret", "n_pixels", "shard_pixels",
+    ),
+)
+def _render_dist_jit(
+    scene, cam_vec, base, *, mesh, tile, spp_local, max_depth, budget,
+    n_passes, interpret, n_pixels, shard_pixels,
+):
+    """Mesh-sharded render as ONE jitted program, cached on
+    (mesh, statics) at module level — a second call with a new seed or
+    sample window re-traces NOTHING (the round-3 version rebuilt and
+    re-traced the whole shard_map per invocation: 112s compile + ~72s
+    per call of pure retrace overhead on a 1-device mesh; see
+    tests/test_pallas_dist.py::test_distributed_second_call_no_retrace).
+
+    `base` = i32 [2] (seed, sample_offset), traced.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ray_tracing_in_one_weekend_tpu.parallel.dist import (
+        PIXEL_AXIS,
+        SAMPLE_AXIS,
+    )
+
+    n_pix_shards = mesh.shape[PIXEL_AXIS]
+    p_mat = pack_scene(scene)
+    pt_mat = p_mat.T
+    # Per-pixel-shard slab offsets, replicated along the sample axis.
+    offsets = (jnp.arange(n_pix_shards, dtype=jnp.int32) * shard_pixels)[:, None]
+
+    def shard_fn(p_mat, pt_mat, cam_vec, base, offset):
+        s_idx = jax.lax.axis_index(SAMPLE_AXIS).astype(jnp.int32)
+        scalars = jnp.stack(
+            [
+                base[0],
+                offset[0, 0],
+                s_idx * spp_local + base[1],
+                jnp.int32(0),
+            ]
+        )
+        sf, si = _init_state(offset[0, 0], shard_pixels, n_pixels, spp_local)
+        rad = _multipass(
+            p_mat, pt_mat, cam_vec, scalars, sf, si,
+            tile, spp_local, max_depth, budget, n_passes, interpret,
+        )  # [3, shard_pixels], local-pixel order
+        return jax.lax.pmean(rad, SAMPLE_AXIS)
+
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(PIXEL_AXIS, None)),
+        out_specs=P(None, PIXEL_AXIS),
+        check_vma=False,
+    )(p_mat, pt_mat, cam_vec, base, offsets)  # [3, padded]
 
 
 def render_pallas_distributed(
@@ -933,10 +1049,9 @@ def render_pallas_distributed(
     (reference: gallery/gpu/image11-source-images/). Tail compaction
     (_multipass) runs device-locally inside shard_map: compaction is a
     lane permutation within each shard's slab, so no collectives beyond
-    the final pmean.
+    the final pmean. The compiled program is cached on (mesh, statics);
+    seed and sample_offset are traced data.
     """
-    from jax.sharding import PartitionSpec as P
-
     from ray_tracing_in_one_weekend_tpu.parallel.dist import (
         PIXEL_AXIS,
         SAMPLE_AXIS,
@@ -961,38 +1076,15 @@ def render_pallas_distributed(
     w, h = cam.image_width, cam.image_height
     n_pixels = w * h
     shard_pixels = -(-n_pixels // (n_pix_shards * tile)) * tile
-    padded = shard_pixels * n_pix_shards
 
-    p_mat = pack_scene(scene)
-    pt_mat = p_mat.T
     cam_vec = jnp.asarray(pack_camera(cam))
-    # Per-pixel-shard slab offsets, replicated along the sample axis.
-    offsets = (jnp.arange(n_pix_shards, dtype=jnp.int32) * shard_pixels)[:, None]
-
-    def shard_fn(p_mat, pt_mat, cam_vec, offset):
-        s_idx = jax.lax.axis_index(SAMPLE_AXIS).astype(jnp.int32)
-        scalars = jnp.stack(
-            [
-                jnp.int32(seed),
-                offset[0, 0],
-                s_idx * spp_local + jnp.int32(sample_offset),
-                jnp.int32(0),
-            ]
-        )
-        sf, si = _init_state(offset[0, 0], shard_pixels, n_pixels, spp_local)
-        rad = _multipass(
-            p_mat, pt_mat, cam_vec, scalars, sf, si,
-            tile, spp_local, max_depth, budget, n_passes, interpret,
-        )  # [3, shard_pixels], local-pixel order
-        return jax.lax.pmean(rad, SAMPLE_AXIS)
-
-    out = jax.shard_map(
-        shard_fn,
-        mesh=mesh,
-        in_specs=(P(), P(), P(), P(PIXEL_AXIS, None)),
-        out_specs=P(None, PIXEL_AXIS),
-        check_vma=False,
-    )(p_mat, pt_mat, cam_vec, offsets)  # [3, padded]
+    base = jnp.asarray([seed, sample_offset], jnp.int32)
+    out = _render_dist_jit(
+        scene, cam_vec, base,
+        mesh=mesh, tile=tile, spp_local=spp_local, max_depth=max_depth,
+        budget=budget, n_passes=n_passes, interpret=interpret,
+        n_pixels=n_pixels, shard_pixels=shard_pixels,
+    )
 
     img = out[:, :n_pixels]
     return jnp.transpose(img).reshape(h, w, 3)

@@ -96,19 +96,20 @@ def main() -> None:
 
     core = jax.jit(
         functools.partial(pr._render_pallas_core, interpret=False),
-        static_argnames=("tile", "spp", "max_depth", "budget"),
+        static_argnames=("tile", "spp", "max_depth"),
     )
 
     def compact(sf, si):
-        return pr._compact(sf, si, tile, spp)
+        sf, si, _inv = pr._compact(sf, si, tile, spp)
+        return sf, si
 
     sf, si = pr._init_state(0, padded, n_pixels, spp)
     total_tile_iters = 0
     final_budget = spp * max_depth
     for p in range(n_passes):
         b = budget if p < n_passes - 1 else final_budget
-        sf, si = core(p_mat, pt_mat, cam_vec, scalars, sf, si,
-                      tile=tile, spp=spp, max_depth=max_depth, budget=b)
+        sf, si = core(p_mat, pt_mat, cam_vec, scalars.at[3].set(b), sf, si,
+                      tile=tile, spp=spp, max_depth=max_depth)
         iters = np.asarray(sf[pr._SF_ITERS, ::tile])  # [grid]
         unfinished = np.asarray(
             (si[pr._SI_BUSY] > 0) | (si[pr._SI_STARTED] < spp)

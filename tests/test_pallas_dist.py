@@ -50,3 +50,45 @@ def test_pallas_dist_spp_divisibility():
         render_pallas_distributed(
             sc, cam, seed=0, mesh=make_mesh((1, 8)), tile=128, interpret=True
         )
+
+
+def test_distributed_second_call_no_retrace():
+    """Regression for the round-3 perf bug: `render_pallas_distributed`
+    rebuilt and re-traced its shard_map program on EVERY call (~72s of
+    pure framework overhead per render on a 1-device mesh). The program
+    is now cached at module level keyed on (mesh, statics), with seed
+    and sample_offset as traced data — so a second call with different
+    seed/sample_offset must hit the jit cache, not add an entry."""
+    from ray_tracing_in_one_weekend_tpu.ops import pallas_grad as pg
+    from ray_tracing_in_one_weekend_tpu.ops import pallas_render as pr
+
+    sc = scene_lib.single_sphere_scene(pad_to=128)
+    cam = _cam(spp=4)
+    mesh = make_mesh((4, 2))
+
+    render_pallas_distributed(sc, cam, seed=0, mesh=mesh, tile=128, interpret=True)
+    n0 = pr._render_dist_jit._cache_size()
+    render_pallas_distributed(
+        sc, cam, seed=7, mesh=mesh, tile=128, interpret=True, sample_offset=4
+    )
+    assert pr._render_dist_jit._cache_size() == n0, (
+        "second distributed render re-traced (seed/sample_offset must be "
+        "traced data, not part of the cache key)"
+    )
+
+    # Same contract for the differentiable sharded path.
+    pg.render_pallas_diff_distributed(
+        sc, cam, seed=0, mesh=mesh, tile=128, bwd_tile=128, interpret=True
+    )
+    n0 = pg._diff_dist_jit._cache_size()
+    pg.render_pallas_diff_distributed(
+        sc, cam, seed=3, mesh=mesh, tile=128, bwd_tile=128, interpret=True,
+        sample_offset=4,
+    )
+    assert pg._diff_dist_jit._cache_size() == n0
+
+    # And the single-chip entry: new seed reuses the compiled program.
+    render_pallas(sc, cam, seed=0, tile=128, interpret=True)
+    n0 = pr._render_single_jit._cache_size()
+    render_pallas(sc, cam, seed=5, tile=128, interpret=True, sample_offset=4)
+    assert pr._render_single_jit._cache_size() == n0
