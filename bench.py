@@ -7,9 +7,22 @@ dict carrying the full benchmark family (BASELINE.md target metrics):
 * forward+backward Mrays/s through the Pallas backward kernel
   (ops/pallas_grad.py) — the north-star differentiable fast path
 * the sharded-mesh forward number (render_pallas_distributed over every
-  local device; on a 1-chip host this measures sharding overhead)
-* compile seconds per entry, and a compiled-vs-interpret identity check
-  on a small tile (the kernel's claim of mode equivalence, enforced)
+  local device; on a 1-chip host this measures sharding overhead, which
+  must be ~0 — the programs are cached, ops/pallas_render._render_dist_jit)
+* a compiled-vs-interpret identity check on a small tile
+* kernel occupancy (tile-iterations executed vs the perfect-occupancy
+  ideal) when time permits
+
+RELIABILITY CONTRACT (round-3 postmortem: the bench died rc=124 with no
+final JSON): the final JSON line is ALWAYS emitted —
+
+* a daemon watchdog thread prints the best-known result and exits 0 if
+  the wall-clock deadline (BENCH_DEADLINE_S, default 540s) is hit, even
+  if a row hangs in a device call;
+* every row has a soft time budget and is skipped (and recorded as
+  skipped) when the remaining global budget is too small;
+* iteration loops stop early when a row overruns its budget;
+* every row failure is caught, logged, and recorded in `extra`.
 
 Timing protocol matches the reference exactly: wall-clock around the
 render only (scene construction, compilation and image I/O excluded),
@@ -27,7 +40,9 @@ numbers of its own (SURVEY.md §6).
 from __future__ import annotations
 
 import json
+import os
 import sys
+import threading
 import time
 import traceback
 
@@ -42,9 +57,51 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 BASELINE_MRAYS_PER_S = 0.1807  # measured reference cpu_ray_tracer (BASELINE.md)
 _BASELINE_FILE = "BASELINE_MEASURED.json"
 
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "540"))
+_T_START = time.perf_counter()
+
+# Mutable best-known result, shared with the watchdog. The watchdog (or
+# the normal exit path — whichever comes first, exactly once) prints it.
+_RESULT = {
+    "metric": "cover_scene_1200x800x10spp_forward",
+    "value": 0.0,
+    "unit": "Mrays/s",
+    "vs_baseline": 0.0,
+    "extra": {},
+}
+_EMITTED = threading.Lock()
+
 
 def _log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def _remaining() -> float:
+    return DEADLINE_S - (time.perf_counter() - _T_START)
+
+
+def _emit_and_exit(code: int, why: str) -> None:
+    """Print the final JSON exactly once and hard-exit.
+
+    os._exit, not sys.exit: the watchdog must be able to terminate the
+    process even while the main thread is blocked inside a device call.
+    """
+    if _EMITTED.acquire(blocking=False):
+        if why:
+            _RESULT["extra"]["exit_reason"] = why
+        print(json.dumps(_RESULT), flush=True)
+        sys.stdout.flush()
+    os._exit(code)
+
+
+def _watchdog() -> None:
+    while True:
+        rem = _remaining()
+        if rem <= 0:
+            _log(f"bench: WATCHDOG deadline {DEADLINE_S:.0f}s hit — emitting "
+                 "partial result")
+            _emit_and_exit(0, "watchdog_deadline")
+        time.sleep(min(rem, 5.0))
 
 
 def _load_baseline() -> float:
@@ -55,21 +112,61 @@ def _load_baseline() -> float:
         return BASELINE_MRAYS_PER_S
 
 
-def _time_fn(run, n_iters=3):
-    """Best-of-n wall time; a scalar fetch is the completion barrier
-    (block_until_ready returns early on tunneled TPU platforms)."""
+def _update_headline(results: dict) -> None:
+    """Refresh the shared result from the forward-row times so far."""
+    if not results:
+        return
+    from ray_tracing_in_one_weekend_tpu.utils.config import PRESETS
+
+    rays = PRESETS["bench"].rays_per_frame
+    backend, render_s = min(results.items(), key=lambda kv: kv[1])
+    mrays = rays / render_s / 1e6
+    _RESULT["value"] = round(mrays, 3)
+    _RESULT["vs_baseline"] = round(mrays / _load_baseline(), 3)
+    _RESULT["extra"]["best_backend"] = backend
+
+
+def _time_fn(run, row_budget_s: float, n_iters: int = 3):
+    """First call (compile) + up to n_iters timed calls, best-of.
+
+    Stops iterating when the row exceeds its soft budget or the global
+    deadline approaches (the watchdog is the hard backstop). A scalar
+    fetch inside `run` is the completion barrier (block_until_ready
+    returns early on tunneled TPU platforms).
+    """
+    t_row = time.perf_counter()
     t0 = time.perf_counter()
     run(0)
     compile_s = time.perf_counter() - t0
     times = []
     for _ in range(n_iters):
+        if time.perf_counter() - t_row > row_budget_s or _remaining() < 20:
+            break
         t0 = time.perf_counter()
         run(0)
         times.append(time.perf_counter() - t0)
-    return compile_s, min(times)
+    # If even one timed iter didn't fit, fall back to the compile call's
+    # wall time as a (pessimistic) bound rather than reporting nothing.
+    return compile_s, (min(times) if times else compile_s)
+
+
+def _row(name: str, min_needed_s: float, fn) -> None:
+    """Run one bench row with failure isolation + budget gating."""
+    if _remaining() < min_needed_s:
+        _log(f"bench[{name}]: SKIPPED ({_remaining():.0f}s left < "
+             f"{min_needed_s:.0f}s needed)")
+        _RESULT["extra"][f"{name}_skipped"] = "time_budget"
+        return
+    try:
+        fn()
+    except Exception:
+        _log(f"bench[{name}]: FAILED\n" + traceback.format_exc()[-800:])
+        _RESULT["extra"][f"{name}_failed"] = True
 
 
 def main() -> None:
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     from ray_tracing_in_one_weekend_tpu.models.scene import cover_scene
     from ray_tracing_in_one_weekend_tpu.ops.render import render_image
     from ray_tracing_in_one_weekend_tpu.utils.config import (
@@ -84,7 +181,8 @@ def main() -> None:
 
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"
-    _log(f"bench: platform={dev.platform} device={dev}")
+    _log(f"bench: platform={dev.platform} device={dev} "
+         f"deadline={DEADLINE_S:.0f}s")
     # Tiny warm-up dispatch + fetch: exercises the device RPC path
     # before the first multi-second program (the tunneled TPU plugin
     # has been observed to wedge a fresh process's first large
@@ -98,30 +196,60 @@ def main() -> None:
     )
 
     results = {}
-    extra = {}
+    extra = _RESULT["extra"]
 
     # --- Pallas kernel backend (compiled on TPU only) ----------------------
     if on_tpu:
-        try:
-            from ray_tracing_in_one_weekend_tpu.ops.pallas_render import render_pallas
+        def row_pallas():
+            from ray_tracing_in_one_weekend_tpu.ops.pallas_render import (
+                render_pallas,
+            )
 
-            def run_pallas(i):
+            def run(i):
                 img = render_pallas(scene, cam, seed=i)
                 return float(jnp.sum(img))
 
-            compile_s, t = _time_fn(run_pallas)
+            compile_s, t = _time_fn(run, row_budget_s=150)
             results["pallas"] = t
             extra["pallas_fwd_mrays"] = round(rays / t / 1e6, 2)
             extra["pallas_fwd_compile_s"] = round(compile_s, 1)
-            _log(
-                f"bench[pallas]: compile {compile_s:.1f}s render {t:.3f}s "
-                f"({rays / t / 1e6:.1f} Mrays/s)"
-            )
-        except Exception:
-            _log("bench[pallas]: FAILED\n" + traceback.format_exc()[-800:])
+            extra["pallas_fwd_s"] = round(t, 3)
+            _update_headline(results)
+            _log(f"bench[pallas]: compile {compile_s:.1f}s render {t:.3f}s "
+                 f"({rays / t / 1e6:.1f} Mrays/s)")
 
-        # --- forward+backward through the Pallas backward kernel ----------
-        try:
+        _row("pallas", min_needed_s=60, fn=row_pallas)
+
+        # --- sharded-mesh forward (all local devices) ------------------
+        def row_mesh():
+            from ray_tracing_in_one_weekend_tpu.ops.pallas_render import (
+                render_pallas_distributed,
+            )
+            from ray_tracing_in_one_weekend_tpu.parallel.dist import make_mesh
+
+            mesh = make_mesh()
+            n_dev = len(jax.devices())
+
+            def run(i):
+                img = render_pallas_distributed(scene, cam, seed=i, mesh=mesh)
+                return float(jnp.sum(img))
+
+            compile_s, t = _time_fn(run, row_budget_s=90)
+            extra["pallas_mesh_devices"] = n_dev
+            extra["pallas_mesh_fwd_mrays"] = round(rays / t / 1e6, 2)
+            extra["pallas_mesh_compile_s"] = round(compile_s, 1)
+            if "pallas_fwd_s" in extra:
+                extra["pallas_mesh_overhead_pct"] = round(
+                    100.0 * (t - extra["pallas_fwd_s"]) / extra["pallas_fwd_s"],
+                    1,
+                )
+            _log(f"bench[pallas mesh x{n_dev}]: compile {compile_s:.1f}s "
+                 f"render {t:.3f}s ({rays / t / 1e6:.1f} Mrays/s)")
+
+        _row("pallas_mesh", min_needed_s=120, fn=row_mesh)
+
+        # --- forward+backward through the Pallas backward kernel --------
+        def row_grads():
             from ray_tracing_in_one_weekend_tpu.ops.pallas_grad import (
                 DIFF_FIELDS,
                 render_grads_pallas,
@@ -139,106 +267,123 @@ def main() -> None:
                 lambda p: render_grads_pallas(p, scene, cam, target, seed=0)
             )
 
-            def run_grads(i):
+            def run(i):
                 loss, grads = grad_fn(params)
                 # Completion barrier on both loss and one grad leaf.
                 return float(loss) + float(jnp.sum(grads["radius"]))
 
-            compile_s, t = _time_fn(run_grads)
+            compile_s, t = _time_fn(run, row_budget_s=120)
             extra["pallas_fwd_bwd_mrays"] = round(rays / t / 1e6, 2)
             extra["pallas_fwd_bwd_compile_s"] = round(compile_s, 1)
             extra["pallas_fwd_bwd_s"] = round(t, 3)
-            _log(
-                f"bench[pallas fwd+bwd]: compile {compile_s:.1f}s "
-                f"step {t:.3f}s ({rays / t / 1e6:.1f} Mrays/s)"
+            # Guard: compiled gradients must be finite on the full
+            # cover scene (a round-4 regression class — adjoint
+            # overflow at ill-conditioned bounces appeared compiled
+            # only, never in the CPU-interpret tests).
+            _, grads = grad_fn(params)
+            extra["pallas_fwd_bwd_grads_finite"] = bool(
+                all(bool(jnp.all(jnp.isfinite(g))) for g in grads.values())
             )
-        except Exception:
-            _log("bench[pallas fwd+bwd]: FAILED\n" + traceback.format_exc()[-800:])
+            _log(f"bench[pallas fwd+bwd]: compile {compile_s:.1f}s "
+                 f"step {t:.3f}s ({rays / t / 1e6:.1f} Mrays/s)")
 
-        # --- sharded-mesh forward (all local devices) ----------------------
-        try:
+        _row("pallas_fwd_bwd", min_needed_s=150, fn=row_grads)
+
+    # --- pure-jnp backend --------------------------------------------------
+    def row_jnp():
+        def run(i):
+            img = render_image(scene, cam, jax.random.key(i))
+            return float(jnp.sum(img))
+
+        compile_s, t = _time_fn(run, row_budget_s=60, n_iters=2)
+        results["jnp"] = t
+        extra["jnp_fwd_mrays"] = round(rays / t / 1e6, 2)
+        extra["jnp_fwd_compile_s"] = round(compile_s, 1)
+        _update_headline(results)
+        _log(f"bench[jnp]: compile {compile_s:.1f}s render {t:.3f}s "
+             f"({rays / t / 1e6:.1f} Mrays/s)")
+
+    _row("jnp", min_needed_s=45, fn=row_jnp)
+
+    if on_tpu:
+        # --- compiled-vs-interpret identity (mode-equivalence) ----------
+        def row_mode_check():
+            import numpy as np
+
             from ray_tracing_in_one_weekend_tpu.ops.pallas_render import (
-                render_pallas_distributed,
+                render_pallas,
             )
-            from ray_tracing_in_one_weekend_tpu.parallel.dist import make_mesh
-
-            mesh = make_mesh()
-            n_dev = len(jax.devices())
-
-            def run_dist(i):
-                img = render_pallas_distributed(scene, cam, seed=i, mesh=mesh)
-                return float(jnp.sum(img))
-
-            compile_s, t = _time_fn(run_dist)
-            extra["pallas_mesh_devices"] = n_dev
-            extra["pallas_mesh_fwd_mrays"] = round(rays / t / 1e6, 2)
-            extra["pallas_mesh_compile_s"] = round(compile_s, 1)
-            _log(
-                f"bench[pallas mesh x{n_dev}]: compile {compile_s:.1f}s "
-                f"render {t:.3f}s ({rays / t / 1e6:.1f} Mrays/s)"
-            )
-        except Exception:
-            _log("bench[pallas mesh]: FAILED\n" + traceback.format_exc()[-800:])
-
-        # --- compiled-vs-interpret identity (mode-equivalence, enforced) ---
-        try:
-            from ray_tracing_in_one_weekend_tpu.ops.pallas_render import render_pallas
 
             small = make_camera_small()
             img_c = jnp.asarray(render_pallas(scene, small, seed=0, tile=256))
             img_i = jnp.asarray(
                 render_pallas(scene, small, seed=0, tile=256, interpret=True)
             )
-            import numpy as np
-
             identical = bool(np.array_equal(np.asarray(img_c), np.asarray(img_i)))
             max_diff = float(jnp.max(jnp.abs(img_c - img_i)))
             extra["compiled_vs_interpret_bitwise"] = identical
             extra["compiled_vs_interpret_max_diff"] = max_diff
-            _log(
-                f"bench[mode check]: compiled-vs-interpret "
-                f"{'BIT-IDENTICAL' if identical else f'max diff {max_diff:.3g}'}"
-            )
-        except Exception:
-            _log("bench[mode check]: FAILED\n" + traceback.format_exc()[-800:])
+            _log(f"bench[mode check]: compiled-vs-interpret "
+                 f"{'BIT-IDENTICAL' if identical else f'max diff {max_diff:.3g}'}")
 
-    # --- pure-jnp backend ----------------------------------------------------
-    try:
-        def run_jnp(i):
-            img = render_image(scene, cam, jax.random.key(i))
-            return float(jnp.sum(img))
+        _row("mode_check", min_needed_s=60, fn=row_mode_check)
 
-        compile_s, t = _time_fn(run_jnp)
-        results["jnp"] = t
-        extra["jnp_fwd_mrays"] = round(rays / t / 1e6, 2)
-        extra["jnp_fwd_compile_s"] = round(compile_s, 1)
-        _log(
-            f"bench[jnp]: compile {compile_s:.1f}s render {t:.3f}s "
-            f"({rays / t / 1e6:.1f} Mrays/s)"
-        )
-    except Exception:
-        _log("bench[jnp]: FAILED\n" + traceback.format_exc()[-800:])
+        # --- occupancy: tile-iterations executed vs perfect packing -----
+        def row_occupancy():
+            occ = _occupancy_probe(scene, cam, config.samples_per_pixel,
+                                   config.max_depth)
+            extra.update(occ)
+            _log(f"bench[occupancy]: {occ}")
+
+        _row("occupancy", min_needed_s=60, fn=row_occupancy)
 
     if not results:
-        print(json.dumps({"metric": "cover_scene_1200x800x10spp_forward",
-                          "value": 0.0, "unit": "Mrays/s", "vs_baseline": 0.0}))
-        sys.exit(1)
+        _RESULT["extra"]["no_backend_succeeded"] = True
+        _log("bench: NO forward row succeeded")
+        _emit_and_exit(1, "no_rows")
 
-    backend, render_s = min(results.items(), key=lambda kv: kv[1])
-    mrays = rays / render_s / 1e6
-    baseline = _load_baseline()
-    _log(f"bench: best backend = {backend}")
-    print(
-        json.dumps(
-            {
-                "metric": "cover_scene_1200x800x10spp_forward",
-                "value": round(mrays, 3),
-                "unit": "Mrays/s",
-                "vs_baseline": round(mrays / baseline, 3),
-                "extra": extra,
-            }
-        )
+    _update_headline(results)
+    _log(f"bench: best backend = {_RESULT['extra'].get('best_backend')}")
+    _emit_and_exit(0, "")
+
+
+def _occupancy_probe(scene, cam, spp, max_depth):
+    """Tile-iterations actually executed by the default schedule vs the
+    perfect-occupancy ideal (every lane's queue densely packed). Uses
+    the kernel's _SF_ITERS/_SF_WORK diagnostic rows (scripts/perf_probe
+    has the full report)."""
+    import numpy as np
+
+    from ray_tracing_in_one_weekend_tpu.ops import pallas_render as pr
+
+    tile = pr.DEFAULT_TILE
+    n_passes = pr.DEFAULT_PASSES
+    budget = pr._default_budget(spp)
+    n_pixels = cam.image_width * cam.image_height
+    padded = -(-n_pixels // tile) * tile
+    p_mat = pr.pack_scene(scene)
+    cam_vec = jnp.asarray(pr.pack_camera(cam))
+    scalars = jnp.asarray([0, 0, 0, 0], jnp.int32)
+    core = jax.jit(
+        lambda *a: pr._render_pallas_core(*a, tile, spp, max_depth, False)
     )
+    sf, si = pr._init_state(0, padded, n_pixels, spp)
+    total_iters = 0.0
+    final_budget = spp * max_depth
+    for p in range(n_passes):
+        b = budget if p < n_passes - 1 else final_budget
+        sf, si = core(p_mat, p_mat.T, cam_vec, scalars.at[3].set(b), sf, si)
+        total_iters += float(np.asarray(sf[pr._SF_ITERS, ::tile]).sum())
+        if p < n_passes - 1:
+            sf, si, _ = pr._compact(sf, si, tile, spp)
+    # Ideal = total busy lane-iterations (the _SF_WORK row sums every
+    # lane's executed bounce queue) / tile width.
+    ideal = float(np.asarray(sf[pr._SF_WORK]).sum()) / tile
+    return {
+        "occupancy_tile_iters": int(total_iters),
+        "occupancy_ideal_iters": int(ideal),
+        "occupancy_pct": round(100.0 * ideal / max(total_iters, 1.0), 1),
+    }
 
 
 def make_camera_small():

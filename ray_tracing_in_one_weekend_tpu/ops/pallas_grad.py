@@ -15,17 +15,23 @@ Design — `jax.custom_vjp` around the scene parameter matrix:
 * **bwd** — one new Pallas kernel (`_bwd_kernel`) that REPLAYS every
   (pixel, sample) path and differentiates it:
 
-  - Phase A (replay): lanes are (pixel, sample) pairs, one sample per
-    lane (grid = (spp, pixel_blocks)). Because every random draw is a
-    pure function of the GLOBAL (pixel, sample, bounce, draw) tuple
-    (ops/pallas_render module docstring), re-running the same shared
-    building blocks (`_sweep_ts`, `_select_hit`, `_scatter_block`,
+  - Phase A (replay): lanes are pixels running a PERSISTENT queue of
+    `group` samples each (grid = (ceil(spp/group), pixel_blocks)) —
+    the same occupancy model as the forward kernel's persistent-sample
+    loop: a lane that retires a sample immediately regenerates its
+    next one, so a tile pays max-of-sums instead of sum-of-maxes over
+    the bounce-depth distribution (see _bwd_kernel). Because every
+    random draw is a pure function of the GLOBAL
+    (pixel, sample, bounce, draw) tuple (ops/pallas_render module
+    docstring), re-running the same shared building blocks
+    (`_sweep_ts`, `_select_hit`, `_scatter_block`,
     `_camera_ray_block`) regenerates the forward pass's paths
     bit-identically — the recompute-instead-of-store answer to the
     fact that storing per-bounce residuals for 1e9 samples would need
-    ~terabytes. Per bounce, the PRE-bounce lane state
-    (o, d, attenuation) plus the winning sphere index are appended to
-    a VMEM scratch trajectory buffer.
+    ~terabytes. Per iteration, the PRE-bounce lane state
+    (o, d, attenuation) plus the event metadata (winning sphere,
+    depth, sample index, regen flag) are appended to a VMEM scratch
+    trajectory buffer.
   - Phase B (backward sweep): walk the trajectory in reverse carrying
     adjoints (o_bar, d_bar, att_bar) [3,T]. Each step re-expresses the
     bounce as a pure function F(o, d, att, gathered_params) ->
@@ -48,9 +54,13 @@ handled by autodiff through `pack_scene`). The camera is treated as
 non-differentiable (zero cotangent), matching the jnp path's
 `parallel/dist.py DIFF_FIELDS` contract.
 
-Cost: fwd = the unchanged fast kernel; bwd = one replay (same sweep
-cost as an uncompacted forward) + the adjoint sweep (no sphere sweep —
-gathers by stored index). Measured on-chip by bench.py's
+Cost: fwd = the unchanged fast kernel; bwd = one replay (persistent-
+sample occupancy, same as forward without compaction) + the adjoint
+sweep (no sphere sweep — parameter columns read back from the
+trajectory). Measured v5e, bench preset (1200x800x10spp depth 50):
+fwd 0.336s; fwd+bwd step 1.21s => bwd alone ~0.87s = 2.6x forward,
+within the one-replay + one-adjoint design sketch (the round-3
+one-sample-per-lane version was 8x). Tracked by bench.py's
 forward+backward row.
 """
 
@@ -86,6 +96,8 @@ from ray_tracing_in_one_weekend_tpu.ops.pallas_render import (
     _M2CZ,
     _MAT,
     _R,
+    _GOLDEN,
+    _GOLDEN2,
     _camera_ray_block,
     _default_budget,
     _dot3,
@@ -100,13 +112,37 @@ from ray_tracing_in_one_weekend_tpu.ops.pallas_render import (
     pack_scene,
 )
 
-# Trajectory scratch layout: one 16-sublane slab per bounce.
+# Trajectory scratch layout: one 16-sublane slab per PERSISTENT-LOOP
+# ITERATION (not per bounce depth — lanes run a persistent multi-sample
+# queue exactly like the forward kernel, so one iteration advances every
+# busy lane's current sample by one bounce).
 # Rows 0:3 = ray origin, 3:6 = unit direction, 6:9 = attenuation (all
 # PRE-bounce), row 9 = event code as f32: -1 lane idle, 0 miss->sky,
 # -2 terminal hit (absorbed / depth exhausted), i+1 = continued off
-# sphere i. Rows 10:16 pad to the sublane tile.
-_TRAJ_ROWS = 16
+# sphere i. Row 10 = pre-bounce bounce depth of the lane's live sample,
+# row 11 = regen flag (lane started its NEXT sample right after this
+# bounce), row 12 = local sample index of the live sample. Rows 13:16
+# pad to the sublane tile; rows 16:32 are the winning sphere's gathered
+# parameter column (the forward gather's [16, T] output), stored so the
+# reverse sweep skips the [16,N]x[N,T] re-gather matmul per step.
+_TRAJ_ROWS = 32
 _DEFAULT_BWD_TILE = 512
+
+# VMEM budget for the trajectory scratch buffer, which bounds how many
+# samples a lane can run per kernel instance (group) at worst-case
+# depth. 48MB leaves room for the scene blocks, lane state and the
+# adjoint sweep's temporaries inside the 100MB compiler cap.
+_TRAJ_VMEM_BYTES = 48 * 1024 * 1024
+
+
+def _bwd_group(spp: int, max_depth: int, tile: int) -> int:
+    """Samples per lane per backward-kernel instance: as many as the
+    worst-case trajectory (group * max_depth iterations) fits in the
+    scratch budget. Larger groups amortize the tile's deep-path tail
+    over more samples (the same occupancy argument as the forward
+    kernel's persistent-sample loop)."""
+    per_sample = max_depth * _TRAJ_ROWS * tile * 4
+    return int(max(1, min(spp, _TRAJ_VMEM_BYTES // per_sample)))
 
 
 def _bwd_kernel(
@@ -116,16 +152,36 @@ def _bwd_kernel(
     pt_ref,  # VMEM [N, 16]
     g_ref,  # VMEM [3, TILE] per-lane radiance cotangent (image cotangent / spp)
     grads_ref,  # VMEM [16, N] out — parameter-matrix cotangent, accumulated
-    traj_ref,  # VMEM scratch [max_depth * 16, TILE] f32
+    traj_ref,  # VMEM scratch [group * max_depth * 32, TILE] f32
     *,
     tile: int,
     n_spheres: int,
     max_depth: int,
+    spp: int,
+    group: int,
 ):
+    """Replay + adjoint sweep with the forward kernel's occupancy model.
+
+    The round-3 version ran ONE sample per lane on a (spp, blocks)
+    grid: every grid step paid the tile's MAX single-sample bounce
+    depth (~30) against a ~2.9 mean — ~8x forward cost overall. This
+    version gives each lane a persistent queue of `group` samples
+    (grid = (ceil(spp/group), blocks)): a lane that retires a sample
+    immediately starts its next one, so a tile pays max-of-sums
+    (~group * mean + tail) instead of sum-of-maxes — the exact
+    rebalancing the forward kernel's persistent-sample loop does
+    (ops/pallas_render.py). Phase A records one 32-row slab per
+    iteration (state + event metadata + the gathered parameter
+    column); Phase B walks the slabs in reverse, resetting a lane's
+    adjoints whenever it crosses the sample boundary it regenerated at
+    (the fresh camera ray is parameter-independent, so the carried
+    adjoints of the overwritten state are dropped, exactly transposing
+    the forward where(regen, camera, state) overwrite).
+    """
     camc = _unpack_cam(cam_ref)
     width = camc[-1]
     n_chunks = n_spheres // CHUNK
-    s = pl.program_id(0)  # sample index
+    grp = pl.program_id(0)  # sample-group index
     j = pl.program_id(1)  # pixel block
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
@@ -138,9 +194,18 @@ def _bwd_kernel(
     # global pixel id, the 64-bit (lo, hi) stream from the GLOBAL sample
     # index (reference: src/gpu/camera.h:186-187's curand streams).
     h0 = _pcg(pix.astype(jnp.uint32) ^ _pcg(scalars_ref[0].astype(jnp.uint32)))
-    s_global = jnp.full((1, tile), s, jnp.int32) + scalars_ref[2]
-    o0, d0, lo, hi = _camera_ray_block(camc, h0, px, py, s_global, tile)
-    stream = (lo, hi)
+
+    base_local = grp * group  # this group's first local sample index
+    # Samples each lane must run in this instance (partial last group).
+    todo = jnp.minimum(group, spp - base_local)
+
+    def camera_ray(s_local):
+        """Camera ray + stream for LOCAL (within-call) sample index
+        `s_local` [1,T]; the global stream key adds the call's
+        sample_offset, exactly as the forward kernel does."""
+        return _camera_ray_block(
+            camc, h0, px, py, base_local + s_local + scalars_ref[2], tile
+        )
 
     # Integer iota + cast: Mosaic's tpu.iota only produces integers, so
     # a float32 broadcasted_iota fails TPU lowering (works interpreted).
@@ -151,14 +216,36 @@ def _bwd_kernel(
         [iota_n1[0:1], jnp.ones((1, n_spheres), jnp.float32)], axis=0
     )  # [2, N]: sphere index row + tie-mass row
 
-    # ---- Phase A: replay, recording the trajectory -----------------------
+    max_iters = group * max_depth  # hard bound: traj slab count
+
+    # ---- Phase A: persistent-sample replay, recording the trajectory ----
+    # Hoisted first start (mirrors the forward kernel): every valid lane
+    # with samples to run starts its first sample now.
+    started0 = jnp.zeros((1, tile), jnp.int32)
+    can0 = valid & (started0 < todo)
+    o0, d0, lo0, hi0 = camera_ray(started0)
+    started0 = started0 + can0.astype(jnp.int32)
+    zeros_t = jnp.zeros((1, tile), jnp.int32)
+    state = (
+        jnp.int32(0),
+        started0,
+        jnp.where(can0, lo0, jnp.uint32(0)),
+        jnp.where(can0, hi0, jnp.uint32(0)),
+        zeros_t,  # depth
+        can0.astype(jnp.float32),  # busy
+        jnp.where(can0, o0, 0.0),
+        jnp.where(can0, d0, 0.0),
+        jnp.ones((3, tile), jnp.float32),  # attenuation
+    )
+
     def cond(state):
-        k, busy_f, o, d, att = state
-        return (k < max_depth) & (jnp.max(busy_f) > 0.0)
+        k, busy_f = state[0], state[5]
+        return (k < max_iters) & (jnp.max(busy_f) > 0.0)
 
     def body(state):
-        k, busy_f, o, d, att = state
+        k, started, lo, hi, depth, busy_f, o, d, att = state
         busy = busy_f > 0.0
+        stream = (lo, hi)
 
         t_cs = _sweep_ts(o, d, pt_ref, n_chunks)
         t_best, params, onehot = _select_hit(p_ref, t_cs)
@@ -183,42 +270,54 @@ def _bwd_kernel(
         front_face = _dot3(d, outward) < 0.0
         n_vec = jnp.where(front_face, outward, -outward)
 
-        ctr = (8 + k * 16).astype(jnp.uint32)
+        ctr = jnp.uint32(8) + depth.astype(jnp.uint32) * jnp.uint32(16)
         new_dir, mat_atten, ok = _scatter_block(
             d, n_vec, front_face, params, stream, ctr
         )
 
-        cont = busy & hit & ok & ((k + 1) < max_depth)
+        depth1 = depth + 1
+        cont = busy & hit & ok & (depth1 < max_depth)
         miss = busy & ~hit
+        retired = busy & ~cont
+        regen = retired & (started < todo)
         code = jnp.where(
             busy,
             jnp.where(miss, 0.0, jnp.where(cont, idx_f + 1.0, -2.0)),
             -1.0,
         )
 
-        # Record PRE-bounce state + event code as one 16-row slab.
+        # Record PRE-bounce state + event metadata as one 16-row slab.
         slab = jnp.concatenate(
-            [o, d, att, code, jnp.zeros((_TRAJ_ROWS - 10, tile), jnp.float32)],
+            [
+                o, d, att, code,
+                depth.astype(jnp.float32),
+                regen.astype(jnp.float32),
+                (started - 1).astype(jnp.float32),  # live sample local idx
+                jnp.zeros((16 - 13, tile), jnp.float32),
+                params,  # gathered [16, T] parameter columns (rows 16:32)
+            ],
             axis=0,
         )
         traj_ref[pl.ds(k * _TRAJ_ROWS, _TRAJ_ROWS), :] = slab
 
+        # Advance the continuing rays.
         att = jnp.where(cont, att * mat_atten, att)
         o = jnp.where(cont, p, o)
         d = jnp.where(cont, new_dir, d)
-        return k + 1, cont.astype(jnp.float32), o, d, att
+        # Retired lanes with samples left start their next sample NOW.
+        o2, d2, lo2, hi2 = camera_ray(started)
+        started = started + regen.astype(jnp.int32)
+        lo = jnp.where(regen, lo2, lo)
+        hi = jnp.where(regen, hi2, hi)
+        depth = jnp.where(regen, 0, depth1)
+        att = jnp.where(regen, 1.0, att)
+        o = jnp.where(regen, o2, o)
+        d = jnp.where(regen, d2, d)
+        busy = cont | regen
+        return (k + 1, started, lo, hi, depth,
+                busy.astype(jnp.float32), o, d, att)
 
-    kmax, _, _, _, _ = jax.lax.while_loop(
-        cond,
-        body,
-        (
-            jnp.int32(0),
-            valid.astype(jnp.float32),
-            o0,
-            d0,
-            jnp.ones((3, tile), jnp.float32),
-        ),
-    )
+    kmax = jax.lax.while_loop(cond, body, state)[0]
 
     # ---- Phase B: reverse adjoint sweep ----------------------------------
     g_lane = jnp.where(valid, g_ref[:, :], 0.0)  # [3, T]
@@ -241,18 +340,34 @@ def _bwd_kernel(
         d = slab[3:6]
         att = slab[6:9]
         code = slab[9:10]
+        # Small-int metadata rides in f32 slab rows (exact below 2^24);
+        # Mosaic has no direct f32->u32 cast, so route through i32.
+        depth = slab[10:11].astype(jnp.int32)
+        regen = slab[11:12] > 0.5
+        samp = slab[12:13].astype(jnp.int32)  # local sample idx
         cont = code > 0.5
         miss = jnp.abs(code) < 0.5
 
-        onehot = (iota_nt == (code - 1.0)).astype(jnp.float32)  # [N, T]
-        pcols = jax.lax.dot_general(
-            p_ref[:, :],
-            onehot,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [16, T]
+        # Undo the forward regen overwrite FIRST: lanes that started
+        # their next sample right after this bounce carried adjoints of
+        # a fresh camera ray — parameter-independent, so they are
+        # dropped before pulling back through this bounce.
+        obar = jnp.where(regen, 0.0, obar)
+        dbar = jnp.where(regen, 0.0, dbar)
+        attbar = jnp.where(regen, 0.0, attbar)
 
-        ctr = (8 + k * 16).astype(jnp.uint32)
+        # Per-slab RNG stream: this iteration's live sample differs per
+        # lane, so re-derive (lo, hi) exactly as _camera_ray_block does.
+        s_u = (base_local + samp + scalars_ref[2]).astype(jnp.uint32)
+        stream = (_pcg(h0 ^ (s_u * _GOLDEN)), _pcg((h0 + s_u) * _GOLDEN2))
+
+        onehot = (iota_nt == (code - 1.0)).astype(jnp.float32)  # [N, T]
+        # Winning sphere's parameter column, stored by Phase A (the
+        # forward gather's exact output — tie-normalized, unlike a
+        # fresh p @ onehot, which matters only on measure-zero ties).
+        pcols = slab[16:32]
+
+        ctr = jnp.uint32(8) + depth.astype(jnp.uint32) * jnp.uint32(16)
 
         def F(o, d, att, pcols):
             """One bounce as a pure function of the continuous inputs,
@@ -326,6 +441,26 @@ def _bwd_kernel(
         _, pullback = jax.vjp(F, o, d, att, pcols)
         obar, dbar, attbar, pbar = pullback((obar, dbar, attbar, g_lane))
 
+        # Per-step adjoint clipping. The path-tracer's per-bounce
+        # Jacobian is unbounded at ill-conditioned events — a
+        # near-degenerate lambertian direction (|n + u| just above the
+        # 1e-16 fallback threshold) has a ~1e8 normalize Jacobian, and a
+        # few such bounces chained multiply past float32 range. On the
+        # 960k-pixel cover scene a handful of lanes sit close enough to
+        # the cliff that Mosaic's fused-multiply-add contraction (vs the
+        # interpreter's strict order) tips them from ~1e38 to inf, and
+        # one inf lane NaN-poisons EVERY sphere's geometry gradient
+        # through the zero-entries of the gacc one-hot matmul (0*inf).
+        # Clipping per step bounds the chain far below overflow while
+        # leaving well-conditioned gradients (O(1) scale, the FD-tested
+        # regime) untouched — the standard outlier treatment for
+        # Monte-Carlo gradient estimators.
+        _CLIP = 1e6
+        obar = jnp.clip(obar, -_CLIP, _CLIP)
+        dbar = jnp.clip(dbar, -_CLIP, _CLIP)
+        attbar = jnp.clip(attbar, -_CLIP, _CLIP)
+        pbar = jnp.clip(pbar, -_CLIP, _CLIP)
+
         # Transposed gather: scatter this bounce's parameter cotangent
         # into the per-sphere gradient matrix on the MXU.
         gacc = gacc + jax.lax.dot_general(
@@ -342,7 +477,7 @@ def _bwd_kernel(
         0, kmax, back_body, (zeros3, zeros3, zeros3, gacc0)
     )
 
-    first = (s == 0) & (j == 0)
+    first = (grp == 0) & (j == 0)
 
     @pl.when(first)
     def _():
@@ -354,16 +489,28 @@ def _bwd_kernel(
 
 
 def _pallas_bwd(
-    p_mat, pt_mat, cam_vec, scalars, g_lanes, *, tile, spp, max_depth, interpret
+    p_mat, pt_mat, cam_vec, scalars, g_lanes, *, tile, spp, max_depth,
+    interpret, group=None,
 ):
     """Launch the backward kernel. `g_lanes` [3, padded] is the per-lane
     radiance cotangent (image cotangent already divided by spp, padded
     with zeros). Returns the parameter-matrix cotangent [16, N]."""
     n_spheres = p_mat.shape[1]
     padded = g_lanes.shape[1]
-    grid = (spp, padded // tile)
+    if group is None:
+        # Interpret mode (CPU CI) keeps one sample per lane: the
+        # multi-device interpreter runs kernel bodies as io_callbacks on
+        # a tiny host thread pool, and long-running callbacks (a
+        # persistent multi-sample while loop) starve the pool against
+        # its cross-device barriers — observed as a deadlock on the
+        # 8-virtual-device CI mesh. Grouping is pure scheduling (it
+        # never changes which paths are replayed), so CI still covers
+        # the persistent-queue code path via single-device tests.
+        group = 1 if interpret else _bwd_group(spp, max_depth, tile)
+    grid = (-(-spp // group), padded // tile)
     kernel = functools.partial(
-        _bwd_kernel, tile=tile, n_spheres=n_spheres, max_depth=max_depth
+        _bwd_kernel, tile=tile, n_spheres=n_spheres, max_depth=max_depth,
+        spp=spp, group=group,
     )
     return pl.pallas_call(
         kernel,
@@ -379,7 +526,7 @@ def _pallas_bwd(
                 (P_ROWS, n_spheres), lambda s, j, *_: (0, 0), memory_space=pltpu.VMEM
             ),
             scratch_shapes=[
-                pltpu.VMEM((max_depth * _TRAJ_ROWS, tile), jnp.float32),
+                pltpu.VMEM((group * max_depth * _TRAJ_ROWS, tile), jnp.float32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((P_ROWS, n_spheres), jnp.float32),
@@ -413,6 +560,7 @@ class _DiffCfg(NamedTuple):
     n_passes: int
     budget: int
     bwd_tile: int
+    bwd_group: int | None
     interpret: bool
 
 
@@ -475,7 +623,7 @@ def _diff_bwd(cfg, residuals, gbar):
     grads = _pallas_bwd(
         p_mat, p_mat.T, cam_vec, scalars, g,
         tile=cfg.bwd_tile, spp=cfg.spp, max_depth=cfg.max_depth,
-        interpret=cfg.interpret,
+        interpret=cfg.interpret, group=cfg.bwd_group,
     )
     return grads, jnp.zeros_like(cam_vec), _int_zero_cotangent(offsets)
 
@@ -497,6 +645,7 @@ def render_pallas_diff(
     max_depth: int | None = None,
     tile: int = DEFAULT_TILE,
     bwd_tile: int = _DEFAULT_BWD_TILE,
+    bwd_group: int | None = None,
     interpret: bool = False,
     n_passes: int = DEFAULT_PASSES,
     budget: int | None = None,
@@ -523,6 +672,7 @@ def render_pallas_diff(
         n_passes=n_passes,
         budget=budget,
         bwd_tile=bwd_tile,
+        bwd_group=bwd_group,
         interpret=interpret,
     )
     p_mat = pack_scene(scene)
@@ -541,6 +691,7 @@ def render_pallas_diff_distributed(
     max_depth: int | None = None,
     tile: int = DEFAULT_TILE,
     bwd_tile: int = _DEFAULT_BWD_TILE,
+    bwd_group: int | None = None,
     interpret: bool = False,
     n_passes: int = DEFAULT_PASSES,
     budget: int | None = None,
@@ -596,6 +747,7 @@ def render_pallas_diff_distributed(
         n_passes=n_passes,
         budget=budget,
         bwd_tile=bwd_tile,
+        bwd_group=bwd_group,
         interpret=interpret,
     )
     p_mat = pack_scene(scene)

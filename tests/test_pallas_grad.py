@@ -198,3 +198,30 @@ def test_render_grads_pallas_cover_scene_finite():
     for name, g in grads.items():
         assert bool(jnp.all(jnp.isfinite(g))), f"non-finite grad in {name}"
     assert sum(float(jnp.abs(g).sum()) for g in grads.values()) > 0.0
+
+
+def test_bwd_group_scheduling_invariance():
+    """The backward kernel's sample grouping (persistent multi-sample
+    lanes vs one sample per lane) is pure scheduling: gradients must
+    agree to float-summation tolerance for any group size. This is the
+    CI coverage of the persistent-queue replay + regen-boundary adjoint
+    reset (group > 1), which the distributed interpret tests avoid
+    (group=1) because of the multi-device interpreter's thread-pool
+    fragility — see ops/pallas_grad._pallas_bwd."""
+    cam = _cam(spp=8)
+    sc = _scene()
+    params = {k: getattr(sc, k) for k in DIFF_FIELDS}
+    target = jnp.zeros((cam.image_height, cam.image_width, 3), jnp.float32)
+
+    kw = dict(seed=3, tile=128, bwd_tile=128, interpret=True, n_passes=1)
+    loss_1, g_1 = render_grads_pallas(params, sc, cam, target,
+                                      bwd_group=1, **kw)
+    loss_g, g_g = render_grads_pallas(params, sc, cam, target,
+                                      bwd_group=4, **kw)
+    assert np.isclose(float(loss_1), float(loss_g), rtol=1e-6)
+    for name in g_1:
+        np.testing.assert_allclose(
+            np.asarray(g_g[name]), np.asarray(g_1[name]),
+            rtol=2e-5, atol=1e-6,
+            err_msg=f"bwd_group changed gradient {name}",
+        )
