@@ -65,8 +65,10 @@ from jax.experimental.pallas import tpu as pltpu
 from ray_tracing_in_one_weekend_tpu.models.camera import Camera
 from ray_tracing_in_one_weekend_tpu.models.scene import Scene
 
-# Rays per tile: S sublane-tiles of 128 lanes.
-DEFAULT_TILE = 2048
+# Rays per tile: S sublane-tiles of 128 lanes. 4096 measured best on
+# v5e at the bench preset (ties 8192 within noise, with more VMEM
+# headroom and finer distributed slab granularity).
+DEFAULT_TILE = 4096
 
 # Keep in sync with ops/intersect.py.
 T_MISS = 1e30
@@ -911,18 +913,20 @@ def _render_single_jit(
     )
 
 # Default budgeted passes before the unbudgeted finisher. 1 disables
-# compaction (single run-to-completion pass, the pre-compaction behavior).
-DEFAULT_PASSES = 4
+# compaction (single run-to-completion pass, the pre-compaction
+# behavior). Re-measured for round 4 after the unscramble rework made
+# compactions relatively more expensive: 3 passes beats 4 (sweep
+# scripts/sweep_sched.py, v5e, bench preset).
+DEFAULT_PASSES = 3
 
 
 def _default_budget(spp: int) -> int:
     # Mean lane queue on the cover scene is ~2.9 iterations per sample.
-    # With the cheap block compaction (see _compact) the best measured
-    # schedule on a real v5e at 1200x800x10spp is 4 passes at ~2.5x spp
-    # (total tile-iterations 19.1k vs the 13.6k perfect-occupancy
-    # ideal); the 2x-3x budget range is within ~10% — not a sensitive
-    # knob.
-    return max(16, (5 * spp) // 2)
+    # Round-4 sweep (v5e, bench preset, after the composed-inverse
+    # unscramble): 3 passes at 3x spp wins — 0.304-0.306s / ~31.3
+    # Mrays/s at tile 4096-8192, vs 0.342s for the round-3 default
+    # (4 passes at 2.5x). The 2.5x-3.5x budget range is within ~2%.
+    return max(16, 3 * spp)
 
 
 def render_pallas(

@@ -1,0 +1,90 @@
+"""Gallery-artifact staleness manifest (VERDICT r3 item 8).
+
+Committed gallery renders are validated by tests that compare artifacts
+against the reference goldens — but a committed PNG keeps passing even
+after a kernel change shifts radiance, until someone remembers to
+re-render. The manifest closes that hole: every artifact records the
+digest of the RENDER-DETERMINING sources at render time, and a test
+fails when those sources changed without regenerating the artifact.
+
+The digest covers exactly the files whose code determines pixel values
+(kernel math, scene construction, camera derivation, sampling, image
+quantization) — NOT scheduling/test/CLI files, so perf-only refactors
+(tile sizes, pass counts, compaction) that are bit-identical by
+construction still require no re-render only if they truly don't touch
+these files; when in doubt the test errs on re-rendering.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import subprocess
+
+# Files whose content determines rendered pixel values. Paths relative
+# to the repo root.
+RENDER_SOURCES = (
+    "ray_tracing_in_one_weekend_tpu/ops/pallas_render.py",
+    "ray_tracing_in_one_weekend_tpu/ops/render.py",
+    "ray_tracing_in_one_weekend_tpu/ops/integrator.py",
+    "ray_tracing_in_one_weekend_tpu/ops/intersect.py",
+    "ray_tracing_in_one_weekend_tpu/ops/materials.py",
+    "ray_tracing_in_one_weekend_tpu/ops/sampling.py",
+    "ray_tracing_in_one_weekend_tpu/ops/vecmath.py",
+    "ray_tracing_in_one_weekend_tpu/ops/image.py",
+    "ray_tracing_in_one_weekend_tpu/models/scene.py",
+    "ray_tracing_in_one_weekend_tpu/models/camera.py",
+)
+
+MANIFEST_NAME = "MANIFEST.json"
+
+
+def repo_root() -> str:
+    return os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+
+
+def render_sources_digest(root: str | None = None) -> str:
+    """sha256 over the concatenated render-determining sources."""
+    root = root or repo_root()
+    h = hashlib.sha256()
+    for rel in RENDER_SOURCES:
+        h.update(rel.encode())
+        with open(os.path.join(root, rel), "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()
+
+
+def _git_head(root: str) -> str:
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=root,
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+    except Exception:
+        return "unknown"
+
+
+def load(gallery_dir: str) -> dict:
+    path = os.path.join(gallery_dir, MANIFEST_NAME)
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
+def record(gallery_dir: str, artifact: str, info: dict) -> None:
+    """Record `artifact` (filename within gallery_dir) with render
+    metadata + the current sources digest."""
+    root = repo_root()
+    m = load(gallery_dir)
+    m[artifact] = {
+        **info,
+        "render_sources_digest": render_sources_digest(root),
+        "git_commit": _git_head(root),
+    }
+    with open(os.path.join(gallery_dir, MANIFEST_NAME), "w") as f:
+        json.dump(m, f, indent=2, sort_keys=True)
+        f.write("\n")

