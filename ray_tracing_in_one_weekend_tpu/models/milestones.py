@@ -1,0 +1,218 @@
+"""Book-milestone scenes and shading modes (fixture breadth, VERDICT r3).
+
+The reference ships one committed render per book milestone
+(gallery/cpu/image1..21.png) with the generating code snapshot in
+archive/listing1..70 — its de-facto test fixtures (SURVEY.md §4). This
+module reproduces the intermediate milestones the final renderer no
+longer exercises: normals shading, the interim hemisphere-diffuse
+model, and the three-sphere material tableaus. Each builder cites the
+archive listing it reproduces; tests/test_milestones.py renders them
+live and checks block-mean statistical parity against the committed
+reference gallery images.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ray_tracing_in_one_weekend_tpu.models import scene as scene_lib
+from ray_tracing_in_one_weekend_tpu.models.camera import Camera, get_rays, make_camera
+from ray_tracing_in_one_weekend_tpu.models.scene import (
+    DIELECTRIC,
+    LAMBERTIAN,
+    METAL,
+    Scene,
+)
+from ray_tracing_in_one_weekend_tpu.ops import sampling
+from ray_tracing_in_one_weekend_tpu.ops import vecmath as vm
+from ray_tracing_in_one_weekend_tpu.ops.integrator import sky_color
+from ray_tracing_in_one_weekend_tpu.ops.intersect import hit_scene
+
+
+def book_camera(image_width: int = 400, spp: int = 100, max_depth: int = 50) -> Camera:
+    """The book's fixed pre-positionable camera: origin at 0 looking
+    down -z, 16:9, viewport height 2, focal length 1 (equivalently
+    vfov = 2*atan(1) = 90 degrees)
+    (reference: archive/listing62/camera.h:6-24)."""
+    return make_camera(
+        image_width=image_width,
+        aspect_ratio=16.0 / 9.0,
+        samples_per_pixel=spp,
+        max_depth=max_depth,
+        vfov_degrees=90.0,
+        lookfrom=(0.0, 0.0, 0.0),
+        lookat=(0.0, 0.0, -1.0),
+        defocus_angle_degrees=0.0,
+        focus_dist=1.0,
+    )
+
+
+def sphere_ground_scene(pad_to: int = 128) -> Scene:
+    """Sphere (0,0,-1) r=0.5 over ground sphere (0,-100.5,-1) r=100 —
+    the geometry of every pre-material milestone
+    (reference: archive/listing24/main.cc world; also
+    src/gpu-old equivalents). Materials set to gray lambertian 0.5 (the
+    first-diffuse milestone's implicit 0.5 bounce factor,
+    reference: archive/listing30/main.cc ray_color)."""
+    return scene_lib.from_spheres(
+        centers=[[0.0, 0.0, -1.0], [0.0, -100.5, -1.0]],
+        radii=[0.5, 100.0],
+        mat_types=[LAMBERTIAN, LAMBERTIAN],
+        albedos=[[0.5, 0.5, 0.5], [0.5, 0.5, 0.5]],
+        pad_to=pad_to,
+    )
+
+
+def metal_trio_scene(
+    fuzz_left: float = 0.0, fuzz_right: float = 0.0, pad_to: int = 128
+) -> Scene:
+    """The first-metal tableau: yellow ground, diffuse (0.7,0.3,0.3)
+    center, silver (0.8,0.8,0.8) left, gold (0.8,0.6,0.2) right
+    (reference: archive/listing50/main.cc:15-23; the fuzzed variant
+    with fuzz 0.3 / 1.0 is archive/listing52/main.cc:55-56)."""
+    return scene_lib.from_spheres(
+        centers=[
+            [0.0, -100.5, -1.0],
+            [0.0, 0.0, -1.0],
+            [-1.0, 0.0, -1.0],
+            [1.0, 0.0, -1.0],
+        ],
+        radii=[100.0, 0.5, 0.5, 0.5],
+        mat_types=[LAMBERTIAN, LAMBERTIAN, METAL, METAL],
+        albedos=[
+            [0.8, 0.8, 0.0],
+            [0.7, 0.3, 0.3],
+            [0.8, 0.8, 0.8],
+            [0.8, 0.6, 0.2],
+        ],
+        fuzzes=[0.0, 0.0, fuzz_left, fuzz_right],
+        pad_to=pad_to,
+    )
+
+
+def glass_trio_scene(hollow: bool = False, pad_to: int = 128) -> Scene:
+    """The dielectric tableau: yellow ground, blue (0.1,0.2,0.5)
+    diffuse center, glass (ior 1.5) left, gold sharp metal right
+    (reference: archive/listing59/main.cc:53-61). `hollow=True` adds
+    the negative-radius inner sphere (r=-0.45) that turns the left
+    sphere into the book's hollow glass bubble
+    (reference: src/cpu/main.cc analogue; the signed radius flips the
+    outward normal, ops/intersect.py)."""
+    centers = [
+        [0.0, -100.5, -1.0],
+        [0.0, 0.0, -1.0],
+        [-1.0, 0.0, -1.0],
+        [1.0, 0.0, -1.0],
+    ]
+    radii = [100.0, 0.5, 0.5, 0.5]
+    mats = [LAMBERTIAN, LAMBERTIAN, DIELECTRIC, METAL]
+    albedos = [
+        [0.8, 0.8, 0.0],
+        [0.1, 0.2, 0.5],
+        [1.0, 1.0, 1.0],
+        [0.8, 0.6, 0.2],
+    ]
+    if hollow:
+        centers.append([-1.0, 0.0, -1.0])
+        radii.append(-0.45)
+        mats.append(DIELECTRIC)
+        albedos.append([1.0, 1.0, 1.0])
+    return scene_lib.from_spheres(
+        centers=centers, radii=radii, mat_types=mats, albedos=albedos,
+        pad_to=pad_to,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Milestone shading modes the final integrator no longer has.
+# ---------------------------------------------------------------------------
+
+
+def render_normals(
+    scene: Scene, cam: Camera, base_key: jax.Array, spp: int = 4
+) -> jnp.ndarray:
+    """Normals-colored shading: 0.5 * (n + 1) on hit, sky otherwise —
+    the book's first shading model (reference:
+    archive/listing24/main.cc ray_color; gallery/cpu/image5 renders it
+    over the sphere+ground world). NOTE the listing writes colors with
+    the PRE-gamma write_color (sqrt lands at archive/listing35/color.h),
+    so parity comparisons must quantize linearly. Returns [H, W, 3]
+    linear radiance."""
+    w, h = cam.image_width, cam.image_height
+    pix = jnp.arange(w * h)
+    px, py = pix % w, pix // w
+    pixel_keys = sampling.fold_b(jnp.broadcast_to(base_key, pix.shape), pix)
+
+    def sample_body(s, acc):
+        keys = sampling.fold_b(pixel_keys, s)
+        o, d = get_rays(cam, px, py, sampling.fold_b(keys, 0))
+        # The normals listing probes with t_min = 0, not the
+        # shadow-acne epsilon (reference: archive/listing24/main.cc):
+        # primary rays only, so the distinction is cosmetic here.
+        rec = hit_scene(scene, o, d)
+        n_col = 0.5 * (rec.normal + 1.0)
+        sky = sky_color(vm.unit_vector(d))
+        return acc + jnp.where(rec.hit[:, None], n_col, sky)
+
+    total = jax.lax.fori_loop(
+        0, spp, sample_body, jnp.zeros((w * h, 3), jnp.float32)
+    )
+    return (total / spp).reshape(h, w, 3)
+
+
+def render_hemisphere_diffuse(
+    scene: Scene, cam: Camera, base_key: jax.Array,
+    spp: int = 16, max_depth: int = 50,
+) -> jnp.ndarray:
+    """The book's interim hemisphere-diffuse model: on hit, scatter
+    uniformly on the normal's hemisphere and attenuate by 0.5
+    (reference: archive/listing40/main.cc ray_color +
+    archive/listing39/vec3.h:110-116 random_in_hemisphere). The GPU
+    tree keeps `random_on_hemisphere` defined-but-unused
+    (reference: src/gpu/rtweekend.h:55-59); this renderer is the
+    milestone it belonged to. Direction law: uniform-in-ball flipped to
+    the hemisphere has a uniform-on-hemisphere direction marginal, so
+    the closed-form hemisphere sampler below is equal in law (the
+    ray only uses the direction; ops/sampling.py documents the same
+    argument for the sphere samplers). Returns [H, W, 3] linear
+    radiance (gamma applies downstream; sqrt exists by this listing)."""
+    w, h = cam.image_width, cam.image_height
+    pix = jnp.arange(w * h)
+    px, py = pix % w, pix // w
+    pixel_keys = sampling.fold_b(jnp.broadcast_to(base_key, pix.shape), pix)
+
+    def sample_body(s, acc):
+        keys = sampling.fold_b(pixel_keys, s)
+        o, d = get_rays(cam, px, py, sampling.fold_b(keys, 0))
+        bounce_base = sampling.fold_b(keys, 1)
+
+        def bounce(i, carry):
+            o, d, atten, radiance, alive = carry
+            rec = hit_scene(scene, o, d)
+            sky = sky_color(vm.unit_vector(d))
+            miss = alive & ~rec.hit
+            radiance = radiance + jnp.where(
+                miss[:, None], atten[:, None] * sky, 0.0
+            )
+            # Uniform hemisphere direction about the normal.
+            u = sampling.unit_vector_b(sampling.fold_b(bounce_base, i))
+            flip = vm.dot(u, rec.normal) < 0.0
+            hemi = jnp.where(flip[:, None], -u, u)
+            cont = alive & rec.hit
+            o = jnp.where(cont[:, None], rec.point, o)
+            d = jnp.where(cont[:, None], hemi, d)
+            atten = jnp.where(cont, atten * 0.5, atten)
+            return o, d, atten, radiance, cont
+
+        n = pix.shape[0]
+        _, _, _, radiance, _ = jax.lax.fori_loop(
+            0, max_depth, bounce,
+            (o, d, jnp.ones(n), jnp.zeros((n, 3)), jnp.ones(n, bool)),
+        )
+        return acc + radiance
+
+    total = jax.lax.fori_loop(
+        0, spp, sample_body, jnp.zeros((w * h, 3), jnp.float32)
+    )
+    return (total / spp).reshape(h, w, 3)

@@ -56,7 +56,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--scene", choices=("cover", "three", "single"), default=None)
     p.add_argument("--chunk", type=int, default=None, help="pixels per chunk (jnp backend)")
-    p.add_argument("--tile", type=int, default=2048, help="pixels per tile (pallas backend, multiple of 128)")
+    p.add_argument("--tile", type=int, default=None,
+                   help="pixels per tile (pallas backend, multiple of 128; "
+                        "default: the kernel's measured-best DEFAULT_TILE)")
     p.add_argument("--backend", choices=("auto", "jnp", "pallas"), default=None)
     p.add_argument("--mesh", default=None, metavar="P[,S]",
                    help="device mesh: pixel shards, optional sample shards (jnp backend)")
@@ -84,7 +86,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="progressive rendering: accumulate into FILE.npz, resuming "
                         "if it exists; the final image equals a monolithic run")
     p.add_argument("--spp-batch", type=int, default=None,
-                   help="samples per accumulation batch (with --checkpoint)")
+                   help="samples per accumulation batch (progress/--checkpoint)")
+    p.add_argument("--no-progress", action="store_true",
+                   help="render monolithically even at high spp (suppresses "
+                        "the per-batch progress lines)")
     return p
 
 
@@ -167,11 +172,14 @@ def main(argv=None) -> int:
 
                 mesh = dist.make_mesh(config.mesh_shape)
                 return pallas_render.render_pallas_distributed(
-                    scene, cam, seed=config.seed, mesh=mesh, tile=args.tile,
+                    scene, cam, seed=config.seed, mesh=mesh,
+                    tile=args.tile or pallas_render.DEFAULT_TILE,
                     interpret=interpret,
                 )
             return pallas_render.render_pallas(
-                scene, cam, seed=config.seed, tile=args.tile, interpret=interpret
+                scene, cam, seed=config.seed,
+                tile=args.tile or pallas_render.DEFAULT_TILE,
+                interpret=interpret,
             )
         if config.mesh_shape:
             from ray_tracing_in_one_weekend_tpu.parallel import dist
@@ -186,6 +194,14 @@ def main(argv=None) -> int:
 
     if args.checkpoint:
         return _run_checkpointed(args, config, scene, cam, backend)
+
+    # Progress reporting (the reference streams "Scanlines remaining"
+    # during its minutes-long renders, reference: src/cpu/main.cc:112):
+    # long renders go through the same sample-batched accumulation the
+    # checkpoint path uses — identical final image (global sample-stream
+    # keying, utils/checkpoint.py) — with one stderr line per batch.
+    if not args.no_progress and not args.profile and config.samples_per_pixel >= 64:
+        return _run_checkpointed(args, config, scene, cam, backend, persist=False)
 
     # Warmup/compile outside the timed bracket, like the reference times
     # only the render (reference: src/gpu/main.cu:128-139). The scalar
@@ -240,11 +256,14 @@ def main(argv=None) -> int:
     return 0
 
 
-def _run_checkpointed(args, config, scene, cam, backend) -> int:
-    """Progressive accumulation with resume (utils/checkpoint.py), on
-    either backend, optionally mesh-sharded — the kernel's sample
-    streams key on global sample indices, so batching is free of
-    statistical cost on every path."""
+def _run_checkpointed(args, config, scene, cam, backend, persist=True) -> int:
+    """Progressive accumulation (utils/checkpoint.py), on either
+    backend, optionally mesh-sharded — the kernel's sample streams key
+    on global sample indices, so batching is free of statistical cost
+    on every path. With `persist`, the accumulator state round-trips
+    through --checkpoint's npz for resume; without it, the same loop
+    serves as the long-render progress reporter (the "Scanlines
+    remaining" analogue, reference: src/cpu/main.cc:112)."""
     import os
 
     import jax
@@ -260,7 +279,7 @@ def _run_checkpointed(args, config, scene, cam, backend) -> int:
         mesh = dist.make_mesh(config.mesh_shape)
     interpret = jax.devices()[0].platform != "tpu"
 
-    if os.path.exists(args.checkpoint):
+    if persist and os.path.exists(args.checkpoint):
         state = ckpt.load(args.checkpoint)
         _log(f"resumed {args.checkpoint} at {int(state.spp_done)} spp")
     else:
@@ -268,6 +287,8 @@ def _run_checkpointed(args, config, scene, cam, backend) -> int:
 
     target_spp = config.samples_per_pixel
     batch = args.spp_batch or max(1, target_spp // 10)
+    render_s = 0.0
+    first_batch_s = None
     while int(state.spp_done) < target_spp:
         n = min(batch, target_spp - int(state.spp_done))
         t0 = time.perf_counter()
@@ -277,11 +298,22 @@ def _run_checkpointed(args, config, scene, cam, backend) -> int:
             backend=backend, mesh=mesh, tile=args.tile, interpret=interpret,
         )
         float(jnp.sum(state.accum))  # completion barrier
-        ckpt.save(state, args.checkpoint)
+        if persist:
+            ckpt.save(state, args.checkpoint)
+        dt = time.perf_counter() - t0
+        render_s += dt
+        if first_batch_s is None:
+            first_batch_s = dt  # includes compile
+        done = int(state.spp_done)
+        remaining = target_spp - done
+        # Steady-state rate from the post-compile batches when possible.
+        steady = (render_s - first_batch_s) / max(done - batch, 1) if done > batch else dt / max(done, 1)
         _log(
-            f"accumulated {int(state.spp_done)}/{target_spp} spp "
-            f"(+{n} in {time.perf_counter() - t0:.2f}s)"
+            f"samples {done}/{target_spp} (+{n} in {dt:.2f}s, "
+            f"~{remaining * steady:.0f}s remaining)"
         )
+    mrays = config.rays_per_frame / render_s / 1e6
+    _log(f"render: {render_s:.3f}s total ({mrays:.2f} Mrays/s incl compile)")
 
     if args.no_output:
         return 0
