@@ -308,23 +308,67 @@ def main() -> None:
     if on_tpu:
         # --- compiled-vs-interpret identity (mode-equivalence) ----------
         def row_mode_check():
+            # Compare the RAW KERNEL PASS on identical explicit inputs:
+            # one Mosaic-compiled run on the TPU vs one interpreter run
+            # pinned to the host CPU device. Feeding both the same
+            # arrays isolates the kernel itself — comparing full
+            # render_pallas outputs across devices instead also compares
+            # the OUTER XLA ops (scene packing reductions, compaction
+            # sorts), whose reduction orders legitimately differ between
+            # backends and would mask a real kernel divergence behind
+            # false alarms.
             import numpy as np
 
-            from ray_tracing_in_one_weekend_tpu.ops.pallas_render import (
-                render_pallas,
-            )
+            from ray_tracing_in_one_weekend_tpu.ops import pallas_render as pr
 
             small = make_camera_small()
-            img_c = jnp.asarray(render_pallas(scene, small, seed=0, tile=256))
-            img_i = jnp.asarray(
-                render_pallas(scene, small, seed=0, tile=256, interpret=True)
-            )
-            identical = bool(np.array_equal(np.asarray(img_c), np.asarray(img_i)))
-            max_diff = float(jnp.max(jnp.abs(img_c - img_i)))
-            extra["compiled_vs_interpret_bitwise"] = identical
-            extra["compiled_vs_interpret_max_diff"] = max_diff
-            _log(f"bench[mode check]: compiled-vs-interpret "
-                 f"{'BIT-IDENTICAL' if identical else f'max diff {max_diff:.3g}'}")
+            tile = 256
+            spp_s, depth_s = 16, 8
+            n_pixels = small.image_width * small.image_height
+            padded = -(-n_pixels // tile) * tile
+            p_mat = np.asarray(pr.pack_scene(scene))
+            cam_vec = np.asarray(pr.pack_camera(small))
+            scalars = np.asarray([0, 0, 0, spp_s * depth_s], np.int32)
+            sf0, si0 = pr._init_state(0, padded, n_pixels, spp_s)
+            sf, si = np.asarray(sf0), np.asarray(si0)
+
+            def run_core(interpret, device):
+                with jax.default_device(device):
+                    of, oi = pr._render_pallas_core(
+                        jnp.asarray(p_mat), jnp.asarray(p_mat.T),
+                        jnp.asarray(cam_vec), jnp.asarray(scalars),
+                        jnp.asarray(sf), jnp.asarray(si),
+                        tile, spp_s, depth_s, interpret,
+                    )
+                    return np.asarray(of), np.asarray(oi)
+
+            of_c, oi_c = run_core(False, jax.devices()[0])
+            of_i, oi_i = run_core(True, jax.devices("cpu")[0])
+            # Bit-identity across modes is NOT achievable: Mosaic lowers
+            # sin/cos/rsqrt to TPU hardware approximations that differ
+            # from the interpreter's libm in the last ulps, and the
+            # bounce dynamics are chaotic — the same draw sequence
+            # applied to a normal perturbed by 1e-7 diverges to an O(1)
+            # different path within a few bounces (measured: ~46% of
+            # lanes differ at spp=4). The two modes therefore agree in
+            # DISTRIBUTION, not per sample: compare 256-lane block
+            # means of the per-lane radiance, where Monte-Carlo noise
+            # averages to ~0.006 while a real kernel-lowering bug
+            # (wrong select, broken RNG, bad normal) shifts whole
+            # blocks by >0.05.
+            rad_c = of_c[9:12].mean(axis=0) / spp_s
+            rad_i = of_i[9:12].mean(axis=0) / spp_s
+            n_blocks = rad_c.shape[0] // 256
+            bc = rad_c[: n_blocks * 256].reshape(n_blocks, 256).mean(axis=1)
+            bi = rad_i[: n_blocks * 256].reshape(n_blocks, 256).mean(axis=1)
+            block_mad = float(np.abs(bc - bi).mean())
+            mean_diff = float(abs(rad_c.mean() - rad_i.mean()))
+            extra["mode_check_block_mad"] = round(block_mad, 5)
+            extra["mode_check_mean_diff"] = round(mean_diff, 5)
+            extra["mode_check_pass"] = bool(block_mad < 0.02 and mean_diff < 0.01)
+            _log(f"bench[mode check]: kernel compiled-vs-interpret "
+                 f"block MAD {block_mad:.4f}, mean diff {mean_diff:.4f} -> "
+                 f"{'PASS' if extra['mode_check_pass'] else 'FAIL'}")
 
         _row("mode_check", min_needed_s=60, fn=row_mode_check)
 

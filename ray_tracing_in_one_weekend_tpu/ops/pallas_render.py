@@ -39,6 +39,18 @@ distributions, documented in ops/sampling.py), not bitwise. The jnp path
 remains the parity oracle vs the reference; the kernel is validated
 against it at moderate spp (tests/test_pallas.py).
 
+MODE NOTE (compiled vs interpret): the RNG draws are bit-identical in
+both modes (pure uint32 + exact float ops), but sin/cos/rsqrt lower to
+TPU hardware approximations under Mosaic that differ from the
+interpreter's libm in the last ulps — so scatter directions differ by
+~1e-7 relative per bounce, and a borderline discrete decision
+(hit/miss at a tangent, metal backscatter, Schlick branch) occasionally
+flips. Mode equivalence is therefore STATISTICAL (the bench's mode
+check measures it: p99 per-lane radiance diff ~float noise, flipped
+lanes a small fraction of a percent), while WITHIN each mode results
+are deterministic and the scheduling knobs (tile, budget, n_passes,
+mesh) are bit-exact no-ops.
+
 STREAM-WIDTH NOTE: each (pixel, sample) carries a 64-bit stream state
 (two uint32 words, `lo`/`hi`, both PCG-mixed from the global pixel and
 sample indices; every draw re-keys on both words plus the draw counter).
