@@ -17,6 +17,7 @@ these files; when in doubt the test errs on re-rendering.
 
 from __future__ import annotations
 
+import ast
 import hashlib
 import json
 import os
@@ -46,14 +47,37 @@ def repo_root() -> str:
     )
 
 
+def _strip_docstrings(tree: ast.AST) -> ast.AST:
+    """Remove docstring expressions so the digest tracks CODE."""
+    for node in ast.walk(tree):
+        body = getattr(node, "body", None)
+        if (
+            isinstance(node, (ast.Module, ast.ClassDef, ast.FunctionDef,
+                              ast.AsyncFunctionDef))
+            and body
+            and isinstance(body[0], ast.Expr)
+            and isinstance(body[0].value, ast.Constant)
+            and isinstance(body[0].value.value, str)
+        ):
+            node.body = body[1:] or [ast.Pass()]
+    return tree
+
+
 def render_sources_digest(root: str | None = None) -> str:
-    """sha256 over the concatenated render-determining sources."""
+    """sha256 over the render-determining sources' ASTs.
+
+    Hashing the docstring-stripped AST dump (not raw bytes) makes the
+    digest insensitive to comment/docstring churn — documentation edits
+    in kernel files must not demand a gallery re-render — while any
+    executable-code change (even a constant) still changes it.
+    """
     root = root or repo_root()
     h = hashlib.sha256()
     for rel in RENDER_SOURCES:
         h.update(rel.encode())
-        with open(os.path.join(root, rel), "rb") as f:
-            h.update(f.read())
+        with open(os.path.join(root, rel)) as f:
+            tree = _strip_docstrings(ast.parse(f.read()))
+        h.update(ast.dump(tree).encode())
     return h.hexdigest()
 
 

@@ -156,3 +156,35 @@ def test_gpu_preset_artifact_statistics():
     # Sky band (top rows): the sky gradient + hero-sphere tops are
     # scene-randomness-independent, so this band agrees tightly.
     assert abs(float(ours[:200].mean()) - float(ref[:200].mean())) < 5.0
+
+
+# ---------------------------------------------------------------------------
+# CPU-MT preset artifact: the reference's largest workload, 3840x2160 /
+# 500 spp / 32 threads (reference: src/cpu-multi-threading/main.cc:84-88).
+# The reference ships no 4K golden (README.md links image23-4k.png but
+# the file is absent from the tree — SURVEY.md §6), so the strongest
+# available check is cross-RESOLUTION self-consistency: the cpu-mt
+# camera equals the gpu preset's (same 16:9 aspect, defocus 0.6 deg,
+# same seed-0 scene), so the 4K render box-downsampled 2x2 in linear
+# space must match the committed 1080p gpu artifact to Monte-Carlo
+# noise (measured: MAD 0.85, p99 5, max 18 8-bit levels). A geometry,
+# camera or radiometry bug that depends on resolution (pixel-delta
+# derivation, tiling, sample-stream keying) breaks this immediately.
+# ---------------------------------------------------------------------------
+
+_CPUMT_ARTIFACT = os.path.join(
+    _GALLERY_DIR, "cover_3840x2160_500spp_cpu-mt.png"
+)
+
+
+def test_cpu_mt_4k_artifact_consistent_across_resolutions():
+    ours = _load(_CPUMT_ARTIFACT).astype(np.float64)
+    assert ours.shape == (2160, 3840, 3)
+    gpu = _load(_GPU_ARTIFACT).astype(np.float64)
+    lin = (ours / 255.0) ** 2
+    ds = lin.reshape(1080, 2, 1920, 2, 3).mean(axis=(1, 3))
+    ds_u8 = np.clip(np.sqrt(ds), 0, 0.999) * 256
+    diff = np.abs(ds_u8.astype(np.int32) - gpu.astype(np.int32))
+    assert diff.mean() < 1.5, f"MAD {diff.mean():.2f}"
+    assert np.percentile(diff, 99) <= 8
+    assert diff.max() <= 40
