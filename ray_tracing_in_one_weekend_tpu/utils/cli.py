@@ -87,6 +87,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "if it exists; the final image equals a monolithic run")
     p.add_argument("--spp-batch", type=int, default=None,
                    help="samples per accumulation batch (progress/--checkpoint)")
+    p.add_argument("--retries", type=int, default=0, metavar="N",
+                   help="elastic recovery: re-render a failed/corrupt "
+                        "sample batch up to N times before failing stop "
+                        "(utils/resilient.py)")
     p.add_argument("--no-progress", action="store_true",
                    help="render monolithically even at high spp (suppresses "
                         "the per-batch progress lines)")
@@ -292,11 +296,24 @@ def _run_checkpointed(args, config, scene, cam, backend, persist=True) -> int:
     while int(state.spp_done) < target_spp:
         n = min(batch, target_spp - int(state.spp_done))
         t0 = time.perf_counter()
-        state = ckpt.accumulate(
-            state, scene, cam, config.seed, n,
-            chunk_size=config.chunk_pixels,
-            backend=backend, mesh=mesh, tile=args.tile, interpret=interpret,
-        )
+        if args.retries > 0:
+            from ray_tracing_in_one_weekend_tpu.utils.resilient import (
+                accumulate_resilient,
+            )
+
+            state = accumulate_resilient(
+                state, scene, cam, config.seed, n,
+                max_retries=args.retries, log=_log,
+                chunk_size=config.chunk_pixels,
+                backend=backend, mesh=mesh, tile=args.tile,
+                interpret=interpret,
+            )
+        else:
+            state = ckpt.accumulate(
+                state, scene, cam, config.seed, n,
+                chunk_size=config.chunk_pixels,
+                backend=backend, mesh=mesh, tile=args.tile, interpret=interpret,
+            )
         float(jnp.sum(state.accum))  # completion barrier
         if persist:
             ckpt.save(state, args.checkpoint)
