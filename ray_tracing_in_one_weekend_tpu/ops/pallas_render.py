@@ -866,7 +866,13 @@ def _multipass(p_mat, pt_mat, cam_vec, scalars, sf, si, tile, spp, max_depth, bu
     final_budget = spp * max_depth
     inv_total = None
     for p in range(n_passes):
-        b = budget if p < n_passes - 1 else final_budget
+        # `budget` may be a single int or a per-pass tuple (a DECAYING
+        # schedule can track the shrinking live set); the last pass is
+        # always unbudgeted so completion is guaranteed.
+        if p < n_passes - 1:
+            b = budget[p] if isinstance(budget, (tuple, list)) else budget
+        else:
+            b = final_budget
         sf, si = _render_pallas_core(
             p_mat, pt_mat, cam_vec, scalars.at[3].set(b), sf, si,
             tile, spp, max_depth, interpret,
@@ -965,6 +971,13 @@ def render_pallas(
     spp = cam.samples_per_pixel if spp is None else spp
     max_depth = cam.max_depth if max_depth is None else max_depth
     budget = _default_budget(spp) if budget is None else budget
+    if isinstance(budget, (tuple, list)):
+        budget = tuple(budget)  # lists are unhashable as jit statics
+        if len(budget) < n_passes - 1:
+            raise ValueError(
+                f"budget schedule has {len(budget)} entries but "
+                f"n_passes={n_passes} needs {n_passes - 1} budgeted passes"
+            )
     w, h = cam.image_width, cam.image_height
     n_pixels = w * h
     padded = -(-n_pixels // tile) * tile

@@ -216,18 +216,37 @@ def main(argv=None) -> int:
     float(jnp.sum(img))
     _log(f"compile+first render: {time.perf_counter() - t0:.2f}s")
 
+    def run_with_retries():
+        """Monolithic render with the same elastic-recovery contract as
+        the batched path (utils/resilient.py): the sample streams are
+        pure functions of global indices, so a re-render after a
+        transient device fault or NaN frame is bit-identical."""
+        last = None
+        for attempt in range(1 + max(0, args.retries)):
+            try:
+                img = run()
+                if not bool(jnp.all(jnp.isfinite(img))):
+                    raise RuntimeError("non-finite pixels in rendered frame")
+                return img
+            except Exception as e:  # noqa: BLE001 — retry any device fault
+                last = e
+                if attempt < args.retries:
+                    _log(f"render failed ({type(e).__name__}: "
+                         f"{str(e)[:120]}) — retry {attempt + 1}/{args.retries}")
+        raise last
+
     if args.profile:
         # Trace/profiling hook (SURVEY.md §5: the reference only has
         # wall-clock timers; this is the TPU-native deep view).
         with jax.profiler.trace(args.profile):
             t0 = time.perf_counter()
-            img = run()
+            img = run_with_retries()
             float(jnp.sum(img))
             render_s = time.perf_counter() - t0
         _log(f"profile trace written to {args.profile}")
     else:
         t0 = time.perf_counter()
-        img = run()
+        img = run_with_retries()
         float(jnp.sum(img))
         render_s = time.perf_counter() - t0
     mrays = config.rays_per_frame / render_s / 1e6
@@ -291,6 +310,16 @@ def _run_checkpointed(args, config, scene, cam, backend, persist=True) -> int:
 
     target_spp = config.samples_per_pixel
     batch = args.spp_batch or max(1, target_spp // 10)
+    if mesh is not None:
+        # Sample-sharded meshes require every batch to divide evenly
+        # over the sample axis (render_pallas_distributed /
+        # parallel/dist.py); round the batch to a multiple. Total spp
+        # is validated by the render functions themselves.
+        from ray_tracing_in_one_weekend_tpu.parallel.dist import SAMPLE_AXIS
+
+        smp = mesh.shape[SAMPLE_AXIS]
+        batch = max(smp, (batch // smp) * smp)
+    start_spp = int(state.spp_done)  # session accounting (resume-aware)
     render_s = 0.0
     first_batch_s = None
     while int(state.spp_done) < target_spp:
@@ -323,22 +352,41 @@ def _run_checkpointed(args, config, scene, cam, backend, persist=True) -> int:
             first_batch_s = dt  # includes compile
         done = int(state.spp_done)
         remaining = target_spp - done
-        # Steady-state rate from the post-compile batches when possible.
-        steady = (render_s - first_batch_s) / max(done - batch, 1) if done > batch else dt / max(done, 1)
+        # Steady-state rate from THIS SESSION's post-compile batches
+        # (resumed checkpoints must not count pre-existing samples).
+        session = done - start_spp
+        if session > batch:
+            steady = (render_s - first_batch_s) / (session - batch)
+        else:
+            steady = dt / max(n, 1)
         _log(
             f"samples {done}/{target_spp} (+{n} in {dt:.2f}s, "
             f"~{remaining * steady:.0f}s remaining)"
         )
-    mrays = config.rays_per_frame / render_s / 1e6
-    _log(f"render: {render_s:.3f}s total ({mrays:.2f} Mrays/s incl compile)")
+    session = int(state.spp_done) - start_spp
+    if session > 0 and render_s > 0:
+        # Mrays/s over the samples rendered THIS session only (a resumed
+        # run must not charge checkpointed samples to this wall time).
+        mrays = (config.image_width * config.image_height * session
+                 / render_s / 1e6)
+        _log(f"render: {render_s:.3f}s total for {session} spp "
+             f"({mrays:.2f} Mrays/s incl compile)")
+    else:
+        _log(f"checkpoint already complete at {int(state.spp_done)} spp")
 
     if args.no_output:
         return 0
 
     from ray_tracing_in_one_weekend_tpu.ops.image import to_uint8
+    from ray_tracing_in_one_weekend_tpu.parallel.dist import fetch_image
     from ray_tracing_in_one_weekend_tpu.utils import ppm
 
-    u8 = np.asarray(to_uint8(state.image))
+    # Same multi-host contract as the monolithic path: gather the
+    # sharded framebuffer, host 0 alone owns stdout/files.
+    full = fetch_image(state.image)
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return 0
+    u8 = np.asarray(to_uint8(full))
     if args.png:
         from PIL import Image
 

@@ -66,10 +66,14 @@ def _strip_docstrings(tree: ast.AST) -> ast.AST:
 def render_sources_digest(root: str | None = None) -> str:
     """sha256 over the render-determining sources' ASTs.
 
-    Hashing the docstring-stripped AST dump (not raw bytes) makes the
-    digest insensitive to comment/docstring churn — documentation edits
-    in kernel files must not demand a gallery re-render — while any
-    executable-code change (even a constant) still changes it.
+    Hashing docstring-stripped, re-unparsed source (not raw bytes)
+    makes the digest insensitive to comment/docstring churn —
+    documentation edits in kernel files must not demand a gallery
+    re-render — while any executable-code change (even a constant)
+    still changes it. `ast.unparse` (canonical source) is used instead
+    of `ast.dump` because dump's field inventory changes across Python
+    minor versions, which would falsely mark artifacts stale when the
+    render and CI interpreters differ.
     """
     root = root or repo_root()
     h = hashlib.sha256()
@@ -77,7 +81,7 @@ def render_sources_digest(root: str | None = None) -> str:
         h.update(rel.encode())
         with open(os.path.join(root, rel)) as f:
             tree = _strip_docstrings(ast.parse(f.read()))
-        h.update(ast.dump(tree).encode())
+        h.update(ast.unparse(tree).encode())
     return h.hexdigest()
 
 

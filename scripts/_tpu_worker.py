@@ -46,6 +46,10 @@ def main() -> None:
         )
         for f in jobs:
             path = os.path.join(JOBS, f)
+            # Skip files modified <1s ago: a submitter writing a large
+            # job file non-atomically must not race the poll loop.
+            if time.time() - os.path.getmtime(path) < 1.0:
+                continue
             src = open(path).read()
             done.add(f)
             if src.strip() == "EXIT":

@@ -126,8 +126,7 @@ def main() -> None:
         print(f"gallery[jnp]: {t:.1f}s", file=sys.stderr)
         name_j = f"cover_1200x800_{spp}spp_jnp.png"
         Image.fromarray(u8_j).save(f"gallery/{name_j}")
-        from ray_tracing_in_one_weekend_tpu.utils import manifest as _mf
-        _mf.record("gallery", name_j, {
+        manifest.record("gallery", name_j, {
             "preset": "cpu", "scene": "cover_scene_reference",
             "width": cam.image_width, "height": cam.image_height, "spp": spp,
             "max_depth": cam.max_depth, "seed": 0, "backend": "jnp",
