@@ -13,7 +13,12 @@ Logs loss to stderr; writes before/after/target PNGs to --outdir.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+# Runnable from a source checkout without installation (the console
+# script / installed package does not need this).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +34,7 @@ def main() -> int:
     ap.add_argument("--mesh", default=None, help="P[,S] device mesh")
     ap.add_argument("--outdir", default="/tmp")
     args = ap.parse_args()
+    os.makedirs(args.outdir, exist_ok=True)
 
     from ray_tracing_in_one_weekend_tpu.models import scene as scene_lib
     from ray_tracing_in_one_weekend_tpu.models.camera import make_camera

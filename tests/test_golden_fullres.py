@@ -188,3 +188,16 @@ def test_cpu_mt_4k_artifact_consistent_across_resolutions():
     assert diff.mean() < 1.5, f"MAD {diff.mean():.2f}"
     assert np.percentile(diff, 99) <= 8
     assert diff.max() <= 40
+
+
+def test_gpu_old_preset_artifact_statistics():
+    """The fourth reference workload (gpu-old tree: 300x200, 500 spp,
+    reference: src/gpu-old/main.cu:145-152). The reference ships no
+    golden for it; the same-scene same-framing cpu-preset artifact
+    (1200x800, aspect 3:2) is the statistical oracle — global mean
+    brightness must agree closely despite the 16x resolution gap."""
+    ours = _load(os.path.join(_GALLERY_DIR, "cover_300x200_500spp_gpu-old.png"))
+    assert ours.shape == (200, 300, 3)
+    assert 100 < ours.mean() < 190 and ours.std() > 40
+    cpu_art = _load(_GALLERY)
+    assert abs(float(ours.mean()) - float(cpu_art.mean())) < 6.0
