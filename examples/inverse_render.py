@@ -7,7 +7,14 @@ target by gradient descent on the pixel loss — on one chip or a full
 mesh (gradients all-reduce over ICI automatically, parallel/dist.py).
 
 Run:  python examples/inverse_render.py [--steps 40] [--mesh 4,2]
+      python examples/inverse_render.py --backend pallas   # kernel-speed
 Logs loss to stderr; writes before/after/target PNGs to --outdir.
+
+`--backend pallas` runs BOTH the forward render and the gradient replay
+as compiled Pallas TPU kernels (ops/pallas_grad.py) — the north-star
+differentiable fast path, ~6x the jnp path's step rate on a v5e at the
+bench workload. `--backend jnp` (default) is the autodiff oracle and
+runs anywhere, including the CPU interpreter.
 """
 
 from __future__ import annotations
@@ -32,6 +39,9 @@ def main() -> int:
     ap.add_argument("--width", type=int, default=64)
     ap.add_argument("--spp", type=int, default=4)
     ap.add_argument("--mesh", default=None, help="P[,S] device mesh")
+    ap.add_argument("--backend", choices=("jnp", "pallas"), default="jnp",
+                    help="pallas = forward AND backward as compiled TPU "
+                         "kernels (interpret mode off-TPU)")
     ap.add_argument("--outdir", default="/tmp")
     args = ap.parse_args()
     os.makedirs(args.outdir, exist_ok=True)
@@ -58,8 +68,19 @@ def main() -> int:
         focus_dist=1.5,
     )
     key = jax.random.key(0)
+    use_pallas = args.backend == "pallas"
+    interpret = jax.devices()[0].platform != "tpu"
+    if use_pallas:
+        from ray_tracing_in_one_weekend_tpu.ops import pallas_grad, pallas_render
 
-    target = dist.render_image_distributed(scene, cam, key, mesh=mesh, chunk_size=2048)
+        pallas_kw = dict(tile=1024, bwd_tile=256, interpret=interpret)
+        target = pallas_render.render_pallas_distributed(
+            scene, cam, seed=0, mesh=mesh, tile=1024, interpret=interpret
+        )
+    else:
+        target = dist.render_image_distributed(
+            scene, cam, key, mesh=mesh, chunk_size=2048
+        )
 
     # Damage the albedos of the three visible spheres.
     params = dist.scene_params(scene)
@@ -71,9 +92,14 @@ def main() -> int:
     before_err = float(jnp.abs(params["albedo"][1] - true_albedo[1]).sum())
 
     for step in range(args.steps):
-        loss, grads = dist.render_grads(
-            params, scene, cam, target, key, mesh, chunk_size=2048
-        )
+        if use_pallas:
+            loss, grads = pallas_grad.render_grads_pallas(
+                params, scene, cam, target, seed=0, mesh=mesh, **pallas_kw
+            )
+        else:
+            loss, grads = dist.render_grads(
+                params, scene, cam, target, key, mesh, chunk_size=2048
+            )
         # albedo-only SGD (geometry is already correct in this demo)
         params["albedo"] = jnp.clip(
             params["albedo"] - args.lr * grads["albedo"], 0.0, 1.0
@@ -93,9 +119,16 @@ def main() -> int:
         from ray_tracing_in_one_weekend_tpu.ops.image import to_uint8
         from ray_tracing_in_one_weekend_tpu.parallel.dist import scene_with_params
 
-        final = dist.render_image_distributed(
-            scene_with_params(scene, params), cam, key, mesh=mesh, chunk_size=2048
-        )
+        recovered_scene = scene_with_params(scene, params)
+        if use_pallas:
+            final = pallas_render.render_pallas_distributed(
+                recovered_scene, cam, seed=0, mesh=mesh, tile=1024,
+                interpret=interpret,
+            )
+        else:
+            final = dist.render_image_distributed(
+                recovered_scene, cam, key, mesh=mesh, chunk_size=2048
+            )
         for name, img in (("target", target), ("recovered", final)):
             Image.fromarray(np.asarray(to_uint8(img))).save(
                 f"{args.outdir}/inverse_{name}.png"
