@@ -346,6 +346,10 @@ def _select_hit(p_ref, t_cs):
     onehot = jnp.concatenate(
         [(t_c <= t_best) & hit_row for t_c in t_cs], axis=0
     )  # [N, T]
+    # (Measured dead end, r4: replacing this with two bf16 matmuls on a
+    # hi/lo split of P — exact one-hot operand, ~16 combined mantissa
+    # bits — gained only 2.6% end-to-end on the bench preset while
+    # perturbing geometry at ~1e-5 relative; the f32 gather stays.)
     params = jax.lax.dot_general(
         p_ref[:, :],  # [16, N]
         onehot.astype(jnp.float32),
