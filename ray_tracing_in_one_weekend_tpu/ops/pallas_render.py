@@ -898,12 +898,6 @@ def _multipass(p_mat, pt_mat, cam_vec, scalars, sf, si, tile, spp, max_depth, bu
     return rad * (1.0 / spp)
 
 
-_multipass_jit = jax.jit(
-    _multipass,
-    static_argnames=("tile", "spp", "max_depth", "budget", "n_passes", "interpret"),
-)
-
-
 @functools.partial(
     jax.jit,
     static_argnames=(
