@@ -39,3 +39,42 @@ def test_cli_aperture_flag():
     assert config.aperture == 0.2
     cam = make_camera_from_config(config)
     assert np.isclose(float(np.linalg.norm(cam.defocus_disk_u)), 0.1, rtol=1e-6)
+
+
+def test_cli_progress_path_rounds_batch_to_sample_shards(capsys):
+    """Long renders route through the sample-batched progress path,
+    whose per-batch spp must divide the sample-shard axis — the CLI
+    rounds the batch to a multiple (review finding r4: a gpu-preset
+    render on a sample-sharded mesh crashed on its first batch)."""
+    import sys
+
+    from ray_tracing_in_one_weekend_tpu.utils import cli
+
+    rc = cli.main([
+        "--platform", "cpu", "--mesh", "1,4", "--width", "32",
+        "--spp", "64", "--spp-batch", "10", "--scene", "single",
+        "--max-depth", "4", "--no-output",
+    ])
+    assert rc == 0
+    err = capsys.readouterr().err
+    # 10 rounds down to 8 (multiple of the 4 sample shards).
+    assert "(+8 in" in err
+    assert "samples 64/64" in err
+
+
+def test_cli_resumed_complete_checkpoint_writes_output(tmp_path, capsys):
+    """Re-running with an already-complete checkpoint must export the
+    image without dividing by the zero seconds of this session's render
+    (review finding r4)."""
+    from ray_tracing_in_one_weekend_tpu.utils import cli
+
+    ck = str(tmp_path / "c.npz")
+    out = str(tmp_path / "o.ppm")
+    args = ["--platform", "cpu", "--width", "24", "--spp", "4",
+            "--scene", "single", "--max-depth", "3",
+            "--checkpoint", ck, "--out", out]
+    assert cli.main(args) == 0
+    first = open(out, "rb").read()
+    assert cli.main(args) == 0
+    assert open(out, "rb").read() == first
+    assert "already complete" in capsys.readouterr().err

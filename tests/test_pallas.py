@@ -348,3 +348,20 @@ def test_sweep_ts_negative_disc_is_miss():
         "must yield T_MISS"
     )
     np.testing.assert_allclose(ts[0, 2], 0.5, rtol=1e-6)
+
+
+def test_budget_schedule_tuple_bit_identical():
+    """Per-pass budget schedules (tuples) are pure scheduling: any
+    schedule must produce the bit-identical image to a uniform budget
+    (the compaction/scheduling no-op contract of _multipass)."""
+    sc = scene_lib.single_sphere_scene(pad_to=128)
+    cam = _cam(width=16, spp=4)
+    a = np.asarray(render_pallas(
+        sc, cam, seed=0, tile=128, budget=6, n_passes=3, interpret=True))
+    b = np.asarray(render_pallas(
+        sc, cam, seed=0, tile=128, budget=(9, 3), n_passes=3, interpret=True))
+    assert np.array_equal(a, b)
+
+    with pytest.raises(ValueError, match="budget schedule"):
+        render_pallas(sc, cam, seed=0, tile=128, budget=(6,), n_passes=3,
+                      interpret=True)
