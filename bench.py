@@ -220,6 +220,32 @@ def main() -> None:
 
         _row("pallas", min_needed_s=60, fn=row_pallas)
 
+        # --- warm-start forward: the steady-state rate for repeated
+        # renders of the same scene (training / progressive / seed
+        # ensembles). A prior render's per-pixel cost map pre-balances
+        # the tiles so a single uncompacted pass runs at near-ideal
+        # occupancy (ops/pallas_render.py `work_hint`; bit-identical
+        # image). The headline stays the cold number above.
+        def row_pallas_warm():
+            from ray_tracing_in_one_weekend_tpu.ops.pallas_render import (
+                render_pallas,
+            )
+
+            _, work = render_pallas(scene, cam, seed=0, return_work=True)
+            work = jnp.asarray(work)
+
+            def run(i):
+                img = render_pallas(scene, cam, seed=i, work_hint=work)
+                return float(jnp.sum(img))
+
+            compile_s, t = _time_fn(run, row_budget_s=90)
+            extra["pallas_fwd_warm_mrays"] = round(rays / t / 1e6, 2)
+            extra["pallas_fwd_warm_s"] = round(t, 3)
+            _log(f"bench[pallas warm]: compile {compile_s:.1f}s render "
+                 f"{t:.3f}s ({rays / t / 1e6:.1f} Mrays/s)")
+
+        _row("pallas_warm", min_needed_s=90, fn=row_pallas_warm)
+
         # --- sharded-mesh forward (all local devices) ------------------
         def row_mesh():
             from ray_tracing_in_one_weekend_tpu.ops.pallas_render import (

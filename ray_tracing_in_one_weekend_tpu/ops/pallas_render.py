@@ -851,7 +851,7 @@ def _compact(sf, si, tile, spp):
     return permute(sf), permute(si), inv_perm
 
 
-def _multipass(p_mat, pt_mat, cam_vec, scalars, sf, si, tile, spp, max_depth, budget, n_passes, interpret):
+def _multipass(p_mat, pt_mat, cam_vec, scalars, sf, si, tile, spp, max_depth, budget, n_passes, interpret, work_hint=None, with_work=False):
     """Budgeted kernel passes with tail compaction between them.
 
     Why: one run-to-completion pass makes every tile pay its MAX lane
@@ -866,9 +866,30 @@ def _multipass(p_mat, pt_mat, cam_vec, scalars, sf, si, tile, spp, max_depth, bu
     round-trips, shapes static, usable as-is inside shard_map.
 
     Returns the per-pixel radiance sum / spp as [3, padded], indexed by
-    LOCAL pixel id (global id - scalars[1])."""
+    LOCAL pixel id (global id - scalars[1]). With `with_work`, also
+    returns the per-pixel busy-iteration count [padded] (same local
+    order) — the cost map a warm-started re-render feeds back in.
+
+    `work_hint` (or None): per-lane expected cost in INITIAL (identity)
+    layout. When given, the lanes are pre-permuted by the same two-level
+    scheme compaction uses BEFORE the first pass, so pass 1 already runs
+    cost-homogeneous tiles instead of image-order tiles whose per-tile
+    max queue is set by their deepest pixel. Pure scheduling: the image
+    is bit-identical with any (or no) hint. The payoff is for REPEATED
+    renders of the same scene — training loops, progressive refinement,
+    seed ensembles — where the previous frame's measured work row is a
+    near-perfect predictor (bounce depth is a property of the pixel's
+    scene content, not of the sample noise)."""
     final_budget = spp * max_depth
     inv_total = None
+    if work_hint is not None:
+        # Seed the compaction's remaining-work estimate with the hint
+        # (at started=0 its estimate reduces to work * spp, monotone in
+        # the hint), permute, then clear the work row so in-render
+        # statistics stay untainted.
+        sf = sf.at[_SF_WORK].set(work_hint)
+        sf, si, inv_total = _compact(sf, si, tile, spp)
+        sf = sf.at[_SF_WORK].set(0.0)
     for p in range(n_passes):
         # `budget` may be a single int or a per-pass tuple (a DECAYING
         # schedule can track the shrinking live set); the last pass is
@@ -895,19 +916,26 @@ def _multipass(p_mat, pt_mat, cam_vec, scalars, sf, si, tile, spp, max_depth, bu
         rad = sf[_SF_RAD : _SF_RAD + 3][:, inv_total]
     else:
         rad = sf[_SF_RAD : _SF_RAD + 3]
-    return rad * (1.0 / spp)
+    rad = rad * (1.0 / spp)
+    if not with_work:
+        return rad
+    work = sf[_SF_WORK]
+    if inv_total is not None:
+        work = work[inv_total]
+    return rad, work
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "tile", "spp", "max_depth", "budget", "n_passes", "interpret",
-        "n_pixels", "padded",
+        "n_pixels", "padded", "use_hint", "with_work",
     ),
 )
 def _render_single_jit(
-    scene, cam_vec, base, *, tile, spp, max_depth, budget, n_passes,
-    interpret, n_pixels, padded,
+    scene, cam_vec, base, work_hint, *, tile, spp, max_depth, budget,
+    n_passes, interpret, n_pixels, padded, use_hint=False,
+    with_work=False,
 ):
     """Whole single-chip render pipeline as ONE jitted program.
 
@@ -916,7 +944,9 @@ def _render_single_jit(
     reuse the compiled program. Scene packing and lane-state init live
     inside the jit too: no per-call eager dispatches (each eager op is
     a round-trip on the tunneled TPU platform) and no ~100MB of eager
-    zero-buffer creation per call.
+    zero-buffer creation per call. `work_hint` is a [padded] f32 cost
+    map (warm-start scheduling, see _multipass) consumed only when
+    `use_hint`; pass a dummy otherwise.
     """
     p_mat = pack_scene(scene)
     scalars = jnp.stack(
@@ -926,6 +956,8 @@ def _render_single_jit(
     return _multipass(
         p_mat, p_mat.T, cam_vec, scalars, sf, si,
         tile, spp, max_depth, budget, n_passes, interpret,
+        work_hint=work_hint if use_hint else None,
+        with_work=with_work,
     )
 
 # Default budgeted passes before the unbudgeted finisher. 1 disables
@@ -953,10 +985,12 @@ def render_pallas(
     spp: int | None = None,
     max_depth: int | None = None,
     interpret: bool = False,
-    n_passes: int = DEFAULT_PASSES,
+    n_passes: int | None = None,
     budget: int | None = None,
     sample_offset: int = 0,
-) -> jnp.ndarray:
+    work_hint: jnp.ndarray | None = None,
+    return_work: bool = False,
+):
     """Render the full image with the Pallas TPU kernel -> [H, W, 3].
 
     `interpret=True` runs the kernel in the Pallas interpreter (CPU CI).
@@ -965,7 +999,20 @@ def render_pallas(
     `sample_offset` starts the global sample streams at that index:
     rendering [0, k) then [k, k+n) and averaging equals one (k+n)-sample
     render (the progressive-checkpoint contract, utils/checkpoint.py).
+
+    Warm-start scheduling: `return_work=True` additionally returns the
+    per-pixel cost map [H, W] (busy kernel iterations); passing a prior
+    render's map back as `work_hint` pre-sorts the lanes so the first
+    pass already runs cost-homogeneous tiles (see _multipass — the
+    image stays bit-identical, only throughput changes). Intended for
+    repeated renders of the same scene: training steps, progressive
+    accumulation, seed ensembles. With a hint, `n_passes` defaults to 1
+    (the pre-sort replaces run-time compaction entirely — measured v5e,
+    bench preset: 0.236s vs the cold default's 0.305s, +29%); without
+    one it defaults to DEFAULT_PASSES.
     """
+    if n_passes is None:
+        n_passes = 1 if work_hint is not None else DEFAULT_PASSES
     spp = cam.samples_per_pixel if spp is None else spp
     max_depth = cam.max_depth if max_depth is None else max_depth
     budget = _default_budget(spp) if budget is None else budget
@@ -982,15 +1029,26 @@ def render_pallas(
 
     cam_vec = jnp.asarray(pack_camera(cam))
     base = jnp.asarray([seed, sample_offset], jnp.int32)
+    if work_hint is not None:
+        hint = jnp.zeros(padded, jnp.float32).at[:n_pixels].set(
+            jnp.asarray(work_hint, jnp.float32).reshape(-1)[:n_pixels]
+        )
+    else:
+        hint = jnp.zeros((1,), jnp.float32)  # dummy, not consumed
 
-    rad = _render_single_jit(
-        scene, cam_vec, base,
+    out = _render_single_jit(
+        scene, cam_vec, base, hint,
         tile=tile, spp=spp, max_depth=max_depth, budget=budget,
         n_passes=n_passes, interpret=interpret,
         n_pixels=n_pixels, padded=padded,
+        use_hint=work_hint is not None, with_work=return_work,
     )
+    rad, work = out if return_work else (out, None)
     img = rad[:, :n_pixels]  # [3, n_pixels]
-    return jnp.transpose(img).reshape(h, w, 3)
+    img = jnp.transpose(img).reshape(h, w, 3)
+    if return_work:
+        return img, work[:n_pixels].reshape(h, w)
+    return img
 
 
 @functools.partial(

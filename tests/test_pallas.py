@@ -365,3 +365,40 @@ def test_budget_schedule_tuple_bit_identical():
     with pytest.raises(ValueError, match="budget schedule"):
         render_pallas(sc, cam, seed=0, tile=128, budget=(6,), n_passes=3,
                       interpret=True)
+
+
+def test_warm_start_hint_bit_identical_and_checkpoint_carry():
+    """Warm-start scheduling (`work_hint` / `return_work`) is pure
+    scheduling: any hint — the real cost map, a random one — yields the
+    bit-identical image, with n_passes auto-dropping to 1. The
+    checkpoint accumulator carries the map across batches, so batched
+    warm accumulation equals the cold monolithic render bit for bit."""
+    from ray_tracing_in_one_weekend_tpu.utils import checkpoint as ckpt
+
+    sc = scene_lib.three_sphere_scene(pad_to=128)
+    cam = _cam(width=32, spp=8)
+    base = np.asarray(render_pallas(sc, cam, seed=0, tile=128, interpret=True))
+
+    img, work = render_pallas(sc, cam, seed=0, tile=128, interpret=True,
+                              return_work=True)
+    assert np.array_equal(np.asarray(img), base)
+    work = np.asarray(work)
+    assert work.shape == (cam.image_height, cam.image_width)
+    assert work.min() >= 1.0  # every pixel ran >= spp iterations / spp
+
+    warm = render_pallas(sc, cam, seed=0, tile=128, interpret=True,
+                         work_hint=work)
+    assert np.array_equal(np.asarray(warm), base)
+    rnd = np.random.default_rng(1).uniform(0, 40, work.shape).astype(np.float32)
+    warm2 = render_pallas(sc, cam, seed=0, tile=128, interpret=True,
+                          work_hint=rnd)
+    assert np.array_equal(np.asarray(warm2), base)
+
+    # Checkpoint path: batch 1 cold, batches 2+ warm via the carried map.
+    state = ckpt.new_state(cam)
+    for n in (3, 3, 2):
+        state = ckpt.accumulate(state, sc, cam, 0, n, backend="pallas",
+                                tile=128, interpret=True)
+        if n == 3:
+            assert state.work is not None
+    np.testing.assert_allclose(np.asarray(state.image), base, atol=2e-7)
