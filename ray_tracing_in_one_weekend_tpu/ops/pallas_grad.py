@@ -54,14 +54,17 @@ handled by autodiff through `pack_scene`). The camera is treated as
 non-differentiable (zero cotangent), matching the jnp path's
 `parallel/dist.py DIFF_FIELDS` contract.
 
-Cost: fwd = the unchanged fast kernel; bwd = one replay (persistent-
-sample occupancy, same as forward without compaction) + the adjoint
-sweep (no sphere sweep — parameter columns read back from the
-trajectory). Measured v5e, bench preset (1200x800x10spp depth 50):
-fwd 0.336s; fwd+bwd step 1.21s => bwd alone ~0.87s = 2.6x forward,
-within the one-replay + one-adjoint design sketch (the round-3
-one-sample-per-lane version was 8x). Tracked by bench.py's
-forward+backward row.
+Cost: fwd = the unchanged fast kernel (it additionally emits its
+per-lane cost map, which rides in the vjp residuals); bwd = one replay
++ one adjoint sweep over lanes WARM-STARTED by that cost map — the
+driver packs cost-similar pixels into the same tiles (_cost_perm) and
+the kernel takes per-lane pixel ids as data, so every tile's
+max-of-sums queue collapses toward its mean. Measured v5e, bench
+preset (1200x800x10spp depth 50): fwd 0.303s; fwd+bwd step 0.774s
+=> bwd alone ~0.47s = 1.55x forward — under the one-replay +
+one-adjoint design sketch's ~3x (round 3's one-sample-per-lane
+version was 8x; round 4's persistent queues alone were 2.6x).
+Tracked by bench.py's forward+backward row.
 """
 
 from __future__ import annotations
@@ -150,6 +153,7 @@ def _bwd_kernel(
     cam_ref,  # SMEM [CAM_LEN] f32
     p_ref,  # VMEM [16, N]
     pt_ref,  # VMEM [N, 16]
+    pix_ref,  # VMEM [1, TILE] i32 per-lane GLOBAL pixel ids (any order)
     g_ref,  # VMEM [3, TILE] per-lane radiance cotangent (image cotangent / spp)
     grads_ref,  # VMEM [16, N] out — parameter-matrix cotangent, accumulated
     traj_ref,  # VMEM scratch [group * max_depth * 32, TILE] f32
@@ -184,8 +188,13 @@ def _bwd_kernel(
     grp = pl.program_id(0)  # sample-group index
     j = pl.program_id(1)  # pixel block
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
-    pix = scalars_ref[1] + j * tile + lane  # [1, T] global pixel ids
+    # Per-lane GLOBAL pixel ids come from an input row (not from the
+    # block index): the driver may permute lanes into cost-homogeneous
+    # tiles using the forward pass's work map (warm-start replay — the
+    # same occupancy lever as ops/pallas_render.py's work_hint), so a
+    # lane's pixel is data. Out-of-image pad lanes carry ids beyond the
+    # live bound and idle.
+    pix = pix_ref[:, :]  # [1, T]
     valid = pix < scalars_ref[3]
     px = (pix % width).astype(jnp.float32)
     py = (pix // width).astype(jnp.float32)
@@ -489,10 +498,12 @@ def _bwd_kernel(
 
 
 def _pallas_bwd(
-    p_mat, pt_mat, cam_vec, scalars, g_lanes, *, tile, spp, max_depth,
-    interpret, group=None,
+    p_mat, pt_mat, cam_vec, scalars, pix_lanes, g_lanes, *, tile, spp,
+    max_depth, interpret, group=None,
 ):
-    """Launch the backward kernel. `g_lanes` [3, padded] is the per-lane
+    """Launch the backward kernel. `pix_lanes` [1, padded] i32 holds each
+    lane's global pixel id (any order — the warm-start path feeds
+    cost-sorted lanes); `g_lanes` [3, padded] the matching per-lane
     radiance cotangent (image cotangent already divided by spp, padded
     with zeros). Returns the parameter-matrix cotangent [16, N]."""
     n_spheres = p_mat.shape[1]
@@ -520,6 +531,7 @@ def _pallas_bwd(
             in_specs=[
                 pl.BlockSpec((P_ROWS, n_spheres), lambda s, j, *_: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((n_spheres, P_ROWS), lambda s, j, *_: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile), lambda s, j, *_: (0, j), memory_space=pltpu.VMEM),
                 pl.BlockSpec((3, tile), lambda s, j, *_: (0, j), memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
@@ -534,7 +546,7 @@ def _pallas_bwd(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(scalars, cam_vec, p_mat, pt_mat, g_lanes)
+    )(scalars, cam_vec, p_mat, pt_mat, pix_lanes, g_lanes)
 
 
 class _DiffCfg(NamedTuple):
@@ -570,23 +582,57 @@ def _int_zero_cotangent(x):
     return np.zeros(x.shape, jax.dtypes.float0)
 
 
-def _primal_flat(cfg: _DiffCfg, p_mat, cam_vec, offsets):
+def _primal_flat(cfg: _DiffCfg, p_mat, cam_vec, offsets, with_work=False):
     """Fast forward (ops/pallas_render._multipass) -> [3, n_lanes].
 
     `offsets` = i32 [3]: (global pixel id of lane 0, global sample index
-    of local sample 0, seed). Output is in local-pixel order.
+    of local sample 0, seed). Output is in local-pixel order. With
+    `with_work`, also returns the per-lane cost map [n_lanes] (the
+    backward pass's warm-start signal).
     """
     padded = -(-cfg.n_lanes // cfg.tile) * cfg.tile
     scalars = jnp.stack(
         [offsets[2], offsets[0], offsets[1], jnp.int32(0)]
     )
     sf, si = _init_state(offsets[0], padded, cfg.n_pixels_total, cfg.spp)
-    rad = _multipass(
+    out = _multipass(
         p_mat, p_mat.T, cam_vec, scalars, sf, si,
         cfg.tile, cfg.spp, cfg.max_depth, cfg.budget, cfg.n_passes,
-        cfg.interpret,
+        cfg.interpret, with_work=with_work,
     )
-    return rad[:, : cfg.n_lanes]
+    if with_work:
+        rad, work = out
+        return rad[:, : cfg.n_lanes], work[: cfg.n_lanes]
+    return out[:, : cfg.n_lanes]
+
+
+def _cost_perm(cost, tile):
+    """Lane permutation that packs similar-cost lanes into the same
+    tiles: per-tile descending cost sort, then a global stable sort of
+    128-lane blocks by total cost — the two-level scheme of
+    ops/pallas_render._compact, as a standalone function over a cost
+    vector. Returns the flat permutation `perm` (new[i] = old[perm[i]]).
+    Zero-cost (dead/pad) lanes sink to the tail tiles, which then exit
+    their while loops immediately."""
+    padded = cost.shape[0]
+    n_tiles = padded // tile
+    BLOCK = 128
+    n_blocks = padded // BLOCK
+    lane_order = jnp.argsort(
+        (-cost).reshape(n_tiles, tile), axis=1, stable=True
+    ).astype(jnp.int32)
+    cost_sorted = jnp.take_along_axis(cost.reshape(n_tiles, tile), lane_order, axis=1)
+    block_cost = jnp.sum(cost_sorted.reshape(n_blocks, BLOCK), axis=1)
+    block_order = jnp.argsort(-block_cost, stable=True).astype(jnp.int32)
+    lane_flat = (
+        jnp.arange(n_tiles, dtype=jnp.int32)[:, None] * tile + lane_order
+    ).reshape(-1)
+    block_flat = (
+        block_order[:, None] * BLOCK
+        + jnp.arange(BLOCK, dtype=jnp.int32)[None, :]
+    ).reshape(-1)
+    # perm[i] = L[B[i]] (lane sort applied first, block gather second).
+    return lane_flat[block_flat]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -595,17 +641,30 @@ def _diff_render_flat(cfg: _DiffCfg, p_mat, cam_vec, offsets):
 
 
 def _diff_fwd(cfg, p_mat, cam_vec, offsets):
-    return _primal_flat(cfg, p_mat, cam_vec, offsets), (p_mat, cam_vec, offsets)
+    # The forward pass's per-lane cost map rides in the residuals: the
+    # backward replay warm-starts from it (same step, no extra render).
+    rad, work = _primal_flat(cfg, p_mat, cam_vec, offsets, with_work=True)
+    return rad, (p_mat, cam_vec, offsets, work)
 
 
 def _diff_bwd(cfg, residuals, gbar):
-    p_mat, cam_vec, offsets = residuals
+    p_mat, cam_vec, offsets, work = residuals
     padded = -(-cfg.n_lanes // cfg.bwd_tile) * cfg.bwd_tile
     # The call's output is the per-pixel MEAN over its spp samples: each
     # sample's radiance cotangent is the pixel cotangent / spp.
     g = jnp.zeros((3, padded), jnp.float32).at[:, : cfg.n_lanes].set(
         gbar / cfg.spp
     )
+    # Warm-start the replay: pack cost-similar lanes into the same
+    # tiles using the forward pass's measured per-pixel cost, so a
+    # tile's max-of-sums queue collapses toward its mean (the replay
+    # analogue of ops/pallas_render.py's work_hint; the kernel takes
+    # per-lane pixel ids as data, so this is pure scheduling — the
+    # gradient changes only by gacc summation order).
+    cost = jnp.zeros(padded, jnp.float32).at[: cfg.n_lanes].set(work)
+    perm = _cost_perm(cost, cfg.bwd_tile)
+    pix_lanes = (offsets[0] + jnp.arange(padded, dtype=jnp.int32))[perm][None]
+    g = g[:, perm]
     # scalars[3] (the backward kernel's live-lane bound) clips at the
     # slab end: lanes past it would replay pixels OUTSIDE this shard's
     # slab; their g is 0 so they contribute nothing, but idling them
@@ -621,7 +680,7 @@ def _diff_bwd(cfg, residuals, gbar):
         ]
     )
     grads = _pallas_bwd(
-        p_mat, p_mat.T, cam_vec, scalars, g,
+        p_mat, p_mat.T, cam_vec, scalars, pix_lanes, g,
         tile=cfg.bwd_tile, spp=cfg.spp, max_depth=cfg.max_depth,
         interpret=cfg.interpret, group=cfg.bwd_group,
     )
