@@ -13,6 +13,8 @@ reference gallery images.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -30,14 +32,17 @@ from ray_tracing_in_one_weekend_tpu.ops.integrator import sky_color
 from ray_tracing_in_one_weekend_tpu.ops.intersect import hit_scene
 
 
-def book_camera(image_width: int = 400, spp: int = 100, max_depth: int = 50) -> Camera:
+def book_camera(image_width: int = 400, spp: int = 100, max_depth: int = 50,
+                aspect_ratio: float = 16.0 / 9.0) -> Camera:
     """The book's fixed pre-positionable camera: origin at 0 looking
     down -z, 16:9, viewport height 2, focal length 1 (equivalently
     vfov = 2*atan(1) = 90 degrees)
-    (reference: archive/listing62/camera.h:6-24)."""
+    (reference: archive/listing62/camera.h:6-24). `aspect_ratio=2.0`
+    gives the v2-era 200x100 framing of the close-up goldens
+    (reference: gallery/cpu/image13.png is 200x100)."""
     return make_camera(
         image_width=image_width,
-        aspect_ratio=16.0 / 9.0,
+        aspect_ratio=aspect_ratio,
         samples_per_pixel=spp,
         max_depth=max_depth,
         vfov_degrees=90.0,
@@ -45,6 +50,38 @@ def book_camera(image_width: int = 400, spp: int = 100, max_depth: int = 50) -> 
         lookat=(0.0, 0.0, -1.0),
         defocus_angle_degrees=0.0,
         focus_dist=1.0,
+    )
+
+
+def positioned_camera(
+    image_width: int = 400, spp: int = 100, max_depth: int = 50,
+    vfov_degrees: float = 90.0, lookfrom=(-2.0, 2.0, 1.0),
+    lookat=(0.0, 0.0, -1.0), defocus_angle_degrees: float = 0.0,
+    aperture: float | None = None, focus_dist: float = 1.0,
+) -> Camera:
+    """The positionable-camera milestones' cameras:
+
+    * wide view  — `camera cam(point3(-2,2,1), point3(0,0,-1),
+      vec3(0,1,0), 90, aspect)` (reference: archive/listing65/main.cc:65;
+      golden gallery/cpu/image18)
+    * zoomed     — same with vfov 20
+      (reference: archive/listing66/main.cc:65; golden image19)
+    * defocus    — `lookfrom(3,3,2)`, aperture 2.0,
+      `dist_to_focus = (lookfrom-lookat).length()`
+      (reference: archive/listing69/main.cc:65-71; golden image20)
+    """
+    return make_camera(
+        image_width=image_width,
+        aspect_ratio=16.0 / 9.0,
+        samples_per_pixel=spp,
+        max_depth=max_depth,
+        vfov_degrees=vfov_degrees,
+        lookfrom=lookfrom,
+        lookat=lookat,
+        vup=(0.0, 1.0, 0.0),
+        defocus_angle_degrees=defocus_angle_degrees,
+        aperture=aperture,
+        focus_dist=focus_dist,
     )
 
 
@@ -124,9 +161,121 @@ def glass_trio_scene(hollow: bool = False, pad_to: int = 128) -> Scene:
     )
 
 
+def two_sphere_wide_scene(pad_to: int = 128) -> Scene:
+    """The wide-angle fov test: two touching R = cos(pi/4) spheres,
+    blue left / red right, filling the 90-degree viewport
+    (reference: archive/listing63/main.cc:51-57; golden
+    gallery/cpu/image17)."""
+    r = math.cos(math.pi / 4.0)
+    return scene_lib.from_spheres(
+        centers=[[-r, 0.0, -1.0], [r, 0.0, -1.0]],
+        radii=[r, r],
+        mat_types=[LAMBERTIAN, LAMBERTIAN],
+        albedos=[[0.0, 0.0, 1.0], [1.0, 0.0, 0.0]],
+        pad_to=pad_to,
+    )
+
+
+def refract_trio_scene(pad_to: int = 128) -> Scene:
+    """The dielectric-chapter test tableau: yellow ground, glass CENTER
+    and glass left, fuzz-1.0 gold metal right
+    (reference: archive/listing55/main.cc:53-61; the 200x100 close-up
+    golden gallery/cpu/image13 renders it with the v2-era
+    refract-or-absorb dielectric, see render_v2_dielectric)."""
+    return scene_lib.from_spheres(
+        centers=[
+            [0.0, -100.5, -1.0],
+            [0.0, 0.0, -1.0],
+            [-1.0, 0.0, -1.0],
+            [1.0, 0.0, -1.0],
+        ],
+        radii=[100.0, 0.5, 0.5, 0.5],
+        mat_types=[LAMBERTIAN, DIELECTRIC, DIELECTRIC, METAL],
+        albedos=[
+            [0.8, 0.8, 0.0],
+            [1.0, 1.0, 1.0],
+            [1.0, 1.0, 1.0],
+            [0.8, 0.6, 0.2],
+        ],
+        fuzzes=[0.0, 0.0, 0.0, 1.0],
+        pad_to=pad_to,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Milestone shading modes the final integrator no longer has.
 # ---------------------------------------------------------------------------
+
+
+def render_v2_dielectric(
+    scene: Scene, cam: Camera, base_key: jax.Array,
+    spp: int = 16, max_depth: int = 50,
+) -> jnp.ndarray:
+    """The book-v2-era dielectric milestone: refract when Snell admits
+    it, otherwise ABSORB (return false -> black) — no Schlick, no
+    reflected fallback. This is the shading of the 200x100 close-up
+    golden (gallery/cpu/image13): the glass spheres' rims go black at
+    the total-internal-reflection band instead of mirroring, the
+    image's signature look. Lambertian/metal behave as in the final
+    integrator (ops/materials.py). Returns [H, W, 3] linear radiance."""
+    w, h = cam.image_width, cam.image_height
+    pix = jnp.arange(w * h)
+    px, py = pix % w, pix // w
+    pixel_keys = sampling.fold_b(jnp.broadcast_to(base_key, pix.shape), pix)
+
+    from ray_tracing_in_one_weekend_tpu.models.scene import DIELECTRIC as DIEL
+    from ray_tracing_in_one_weekend_tpu.ops.materials import scatter_sampled
+
+    def sample_body(s, acc):
+        keys = sampling.fold_b(pixel_keys, s)
+        o, d = get_rays(cam, px, py, sampling.fold_b(keys, 0))
+        trace_keys = sampling.fold_b(keys, 1)
+        n = pix.shape[0]
+
+        def bounce(i, carry):
+            o, d, atten, radiance, alive = carry
+            rec = hit_scene(scene, o, d)
+            sky = sky_color(vm.unit_vector(d))
+            miss = alive & ~rec.hit
+            radiance = radiance + jnp.where(
+                miss[:, None], atten * sky, 0.0
+            )
+            u = sampling.uniforms_b(trace_keys, 5, domain=i)
+            unit_sample = sampling.unit_vector_from_uniforms(u[:, 0:4])
+            new_dir, mat_atten, ok = scatter_sampled(
+                rec, d, unit_sample, u[:, 4]
+            )
+            # v2 dielectric override: TIR lanes are ABSORBED, all other
+            # glass lanes refract (the modern path's Schlick reflection
+            # never fires because reflect_u is ignored).
+            unit_in = vm.unit_vector(d)
+            ratio = jnp.where(rec.front_face, 1.0 / rec.ior, rec.ior)
+            cos_t = jnp.minimum(vm.dot(-unit_in, rec.normal), 1.0)
+            sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 1e-12))
+            tir = ratio * sin_t > 1.0
+            is_diel = rec.mat_type == DIEL
+            new_dir = jnp.where(
+                is_diel[:, None],
+                vm.refract(unit_in, rec.normal, ratio),
+                new_dir,
+            )
+            ok = jnp.where(is_diel, ~tir, ok)
+            cont = alive & rec.hit & ok
+            atten = jnp.where(cont[:, None], atten * mat_atten, atten)
+            o = jnp.where(cont[:, None], rec.point, o)
+            d = jnp.where(cont[:, None], new_dir, d)
+            return o, d, atten, radiance, cont
+
+        _, _, _, radiance, _ = jax.lax.fori_loop(
+            0, max_depth, bounce,
+            (o, d, jnp.ones((n, 3)), jnp.zeros((n, 3)), jnp.ones(n, bool)),
+        )
+        return acc + radiance
+
+    total = jax.lax.fori_loop(
+        0, spp, sample_body, jnp.zeros((w * h, 3), jnp.float32)
+    )
+    return (total / spp).reshape(h, w, 3)
 
 
 def render_normals(

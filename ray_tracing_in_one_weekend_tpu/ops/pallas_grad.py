@@ -185,6 +185,7 @@ def _bwd_kernel(
     camc = _unpack_cam(cam_ref)
     width = camc[-1]
     n_chunks = n_spheres // CHUNK
+    t_min = cam_ref[20]  # shadow-acne epsilon, same SMEM slot as forward
     grp = pl.program_id(0)  # sample-group index
     j = pl.program_id(1)  # pixel block
 
@@ -256,7 +257,7 @@ def _bwd_kernel(
         busy = busy_f > 0.0
         stream = (lo, hi)
 
-        t_cs = _sweep_ts(o, d, pt_ref, n_chunks)
+        t_cs = _sweep_ts(o, d, pt_ref, n_chunks, t_min)
         t_best, params, onehot = _select_hit(p_ref, t_cs)
         hit = t_best < (T_MISS * 0.5)
 
@@ -415,7 +416,7 @@ def _bwd_kernel(
             sqrt_d = jnp.sqrt(jnp.maximum(disc, 1e-12))
             root_near = -half_b - sqrt_d
             root_far = -half_b + sqrt_d
-            t = jnp.where(root_near > T_MIN_EPS, root_near, root_far)
+            t = jnp.where(root_near > t_min, root_near, root_far)
             t_safe = jnp.where(cont, t, 1.0)
             p = o + t_safe * d
 
@@ -574,6 +575,10 @@ class _DiffCfg(NamedTuple):
     bwd_tile: int
     bwd_group: int | None
     interpret: bool
+    # Warm-start the PRIMAL from a prior step's cost map (the traced
+    # `hint` argument of _diff_render_flat). The backward replay always
+    # warm-starts from the SAME step's map regardless (_diff_bwd).
+    use_hint: bool = False
 
 
 # Cotangent for integer (pixel_offset, sample_offset) args: float0, the
@@ -582,23 +587,31 @@ def _int_zero_cotangent(x):
     return np.zeros(x.shape, jax.dtypes.float0)
 
 
-def _primal_flat(cfg: _DiffCfg, p_mat, cam_vec, offsets, with_work=False):
+def _primal_flat(cfg: _DiffCfg, p_mat, cam_vec, offsets, hint,
+                 with_work=False):
     """Fast forward (ops/pallas_render._multipass) -> [3, n_lanes].
 
     `offsets` = i32 [3]: (global pixel id of lane 0, global sample index
     of local sample 0, seed). Output is in local-pixel order. With
     `with_work`, also returns the per-lane cost map [n_lanes] (the
-    backward pass's warm-start signal).
+    backward pass's warm-start signal). `hint` [n_lanes] warm-starts
+    the primal schedule when cfg.use_hint (a prior step's cost map —
+    the training-loop analogue of render_pallas's auto warm-start;
+    pure scheduling, bit-identical primal).
     """
     padded = -(-cfg.n_lanes // cfg.tile) * cfg.tile
     scalars = jnp.stack(
         [offsets[2], offsets[0], offsets[1], jnp.int32(0)]
     )
     sf, si = _init_state(offsets[0], padded, cfg.n_pixels_total, cfg.spp)
+    if cfg.use_hint:
+        work_hint = jnp.zeros(padded, jnp.float32).at[: cfg.n_lanes].set(hint)
+    else:
+        work_hint = None
     out = _multipass(
         p_mat, p_mat.T, cam_vec, scalars, sf, si,
         cfg.tile, cfg.spp, cfg.max_depth, cfg.budget, cfg.n_passes,
-        cfg.interpret, with_work=with_work,
+        cfg.interpret, work_hint=work_hint, with_work=with_work,
     )
     if with_work:
         rad, work = out
@@ -636,19 +649,26 @@ def _cost_perm(cost, tile):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _diff_render_flat(cfg: _DiffCfg, p_mat, cam_vec, offsets):
-    return _primal_flat(cfg, p_mat, cam_vec, offsets)
+def _diff_render_flat(cfg: _DiffCfg, p_mat, cam_vec, offsets, hint):
+    """Returns (rad [3, n_lanes], work [n_lanes]) — the rendered
+    radiance plus the measured per-lane cost map, so a training loop
+    can feed `work` back as the NEXT step's `hint` (the warm-start
+    carry; see train_step_pallas)."""
+    return _primal_flat(cfg, p_mat, cam_vec, offsets, hint, with_work=True)
 
 
-def _diff_fwd(cfg, p_mat, cam_vec, offsets):
+def _diff_fwd(cfg, p_mat, cam_vec, offsets, hint):
     # The forward pass's per-lane cost map rides in the residuals: the
     # backward replay warm-starts from it (same step, no extra render).
-    rad, work = _primal_flat(cfg, p_mat, cam_vec, offsets, with_work=True)
-    return rad, (p_mat, cam_vec, offsets, work)
+    rad, work = _primal_flat(
+        cfg, p_mat, cam_vec, offsets, hint, with_work=True
+    )
+    return (rad, work), (p_mat, cam_vec, offsets, hint, work)
 
 
-def _diff_bwd(cfg, residuals, gbar):
-    p_mat, cam_vec, offsets, work = residuals
+def _diff_bwd(cfg, residuals, gbars):
+    p_mat, cam_vec, offsets, hint, work = residuals
+    gbar, _gwork = gbars  # the cost map is scheduling metadata: no grad
     padded = -(-cfg.n_lanes // cfg.bwd_tile) * cfg.bwd_tile
     # The call's output is the per-pixel MEAN over its spp samples: each
     # sample's radiance cotangent is the pixel cotangent / spp.
@@ -684,7 +704,8 @@ def _diff_bwd(cfg, residuals, gbar):
         tile=cfg.bwd_tile, spp=cfg.spp, max_depth=cfg.max_depth,
         interpret=cfg.interpret, group=cfg.bwd_group,
     )
-    return grads, jnp.zeros_like(cam_vec), _int_zero_cotangent(offsets)
+    return (grads, jnp.zeros_like(cam_vec), _int_zero_cotangent(offsets),
+            jnp.zeros_like(hint))
 
 
 _diff_render_flat.defvjp(_diff_fwd, _diff_bwd)
@@ -706,19 +727,32 @@ def render_pallas_diff(
     bwd_tile: int = _DEFAULT_BWD_TILE,
     bwd_group: int | None = None,
     interpret: bool = False,
-    n_passes: int = DEFAULT_PASSES,
+    n_passes: int | None = None,
     budget: int | None = None,
     sample_offset: int = 0,
-) -> jnp.ndarray:
+    work_hint: jnp.ndarray | None = None,
+    return_work: bool = False,
+):
     """Differentiable Pallas render -> [H, W, 3] linear framebuffer.
 
     The VALUE is bit-identical to `render_pallas` (same forward kernel).
     Under `jax.grad`, scene-parameter gradients run through the Pallas
     backward kernel instead of jnp autodiff. Camera parameters receive
     zero gradient (same contract as parallel/dist.DIFF_FIELDS).
+
+    `work_hint` warm-starts the PRIMAL schedule from a prior step's
+    cost map ([H, W] or flat; `n_passes` then defaults to 1); with
+    `return_work` the measured map comes back for the next step. This
+    is the functional training-loop analogue of render_pallas's module
+    cache — everything here may sit under jit/grad, where host-side
+    caching is impossible, so the map is carried as data
+    (train_step_pallas threads it automatically).
     """
     spp = cam.samples_per_pixel if spp is None else spp
     max_depth = cam.max_depth if max_depth is None else max_depth
+    use_hint = work_hint is not None
+    if n_passes is None:
+        n_passes = 1 if use_hint else DEFAULT_PASSES
     budget = _default_budget(spp) if budget is None else budget
     n_pixels = cam.image_width * cam.image_height
     cfg = _DiffCfg(
@@ -733,12 +767,20 @@ def render_pallas_diff(
         bwd_tile=bwd_tile,
         bwd_group=bwd_group,
         interpret=interpret,
+        use_hint=use_hint,
     )
     p_mat = pack_scene(scene)
     cam_vec = jnp.asarray(pack_camera(cam))
     offsets = jnp.asarray([0, sample_offset, seed], jnp.int32)
-    rad = _diff_render_flat_jit(cfg, p_mat, cam_vec, offsets)  # [3, n_pixels]
-    return jnp.transpose(rad).reshape(cam.image_height, cam.image_width, 3)
+    if use_hint:
+        hint = jnp.asarray(work_hint, jnp.float32).reshape(-1)[:n_pixels]
+    else:
+        hint = jnp.zeros((1,), jnp.float32)
+    rad, work = _diff_render_flat_jit(cfg, p_mat, cam_vec, offsets, hint)
+    img = jnp.transpose(rad).reshape(cam.image_height, cam.image_width, 3)
+    if return_work:
+        return img, work.reshape(cam.image_height, cam.image_width)
+    return img
 
 
 def render_pallas_diff_distributed(
@@ -752,10 +794,12 @@ def render_pallas_diff_distributed(
     bwd_tile: int = _DEFAULT_BWD_TILE,
     bwd_group: int | None = None,
     interpret: bool = False,
-    n_passes: int = DEFAULT_PASSES,
+    n_passes: int | None = None,
     budget: int | None = None,
     sample_offset: int = 0,
-) -> jnp.ndarray:
+    work_hint: jnp.ndarray | None = None,
+    return_work: bool = False,
+):
     """Mesh-sharded differentiable Pallas render -> [H, W, 3].
 
     Forward = `render_pallas_distributed`'s layout exactly (pixel-slab +
@@ -781,6 +825,9 @@ def render_pallas_diff_distributed(
         mesh = make_mesh()
     spp = cam.samples_per_pixel if spp is None else spp
     max_depth = cam.max_depth if max_depth is None else max_depth
+    use_hint = work_hint is not None
+    if n_passes is None:
+        n_passes = 1 if use_hint else DEFAULT_PASSES
 
     n_pix_shards = mesh.shape[PIXEL_AXIS]
     n_smp_shards = mesh.shape[SAMPLE_AXIS]
@@ -795,6 +842,7 @@ def render_pallas_diff_distributed(
     w, h = cam.image_width, cam.image_height
     n_pixels = w * h
     shard_pixels = -(-n_pixels // (n_pix_shards * tile)) * tile
+    total = n_pix_shards * shard_pixels
 
     cfg = _DiffCfg(
         width=w,
@@ -808,25 +856,41 @@ def render_pallas_diff_distributed(
         bwd_tile=bwd_tile,
         bwd_group=bwd_group,
         interpret=interpret,
+        use_hint=use_hint,
     )
     p_mat = pack_scene(scene)
     cam_vec = jnp.asarray(pack_camera(cam))
     base = jnp.asarray([sample_offset, seed], jnp.int32)
-    out = _diff_dist_jit(
-        cfg, p_mat, cam_vec, base, mesh=mesh, n_pix_shards=n_pix_shards
-    )  # [3, n_pix_shards * shard_pixels]
+    if use_hint:
+        # Slab layout = zero-padded flat global-pixel order (slabs are
+        # contiguous pixel ranges), same convention as the forward
+        # distributed path.
+        hint = jnp.zeros(total, jnp.float32).at[:n_pixels].set(
+            jnp.asarray(work_hint, jnp.float32).reshape(-1)[:n_pixels]
+        ).reshape(n_pix_shards, shard_pixels)
+    else:
+        hint = jnp.zeros((n_pix_shards, 1), jnp.float32)
+    out, work = _diff_dist_jit(
+        cfg, p_mat, cam_vec, base, hint,
+        mesh=mesh, n_pix_shards=n_pix_shards,
+    )  # [3, total], [total]
 
-    img = out[:, :n_pixels]
-    return jnp.transpose(img).reshape(h, w, 3)
+    img = jnp.transpose(out[:, :n_pixels]).reshape(h, w, 3)
+    if return_work:
+        return img, work[:n_pixels].reshape(h, w)
+    return img
 
 
 @functools.partial(
     jax.jit, static_argnums=(0,), static_argnames=("mesh", "n_pix_shards")
 )
-def _diff_dist_jit(cfg: _DiffCfg, p_mat, cam_vec, base, *, mesh, n_pix_shards):
+def _diff_dist_jit(cfg: _DiffCfg, p_mat, cam_vec, base, hint, *, mesh,
+                   n_pix_shards):
     """Sharded differentiable render as ONE jitted program, cached on
     (cfg, mesh) at module level; `base` = i32 [2] (sample_offset, seed)
-    is traced data (same retrace fix as _render_dist_jit)."""
+    is traced data (same retrace fix as _render_dist_jit). `hint` is
+    the primal warm-start map in slab layout [n_pix_shards, ...];
+    returns (rad [3, total], work [total])."""
     from jax.sharding import PartitionSpec as P
 
     from ray_tracing_in_one_weekend_tpu.parallel.dist import (
@@ -838,21 +902,26 @@ def _diff_dist_jit(cfg: _DiffCfg, p_mat, cam_vec, base, *, mesh, n_pix_shards):
         jnp.arange(n_pix_shards, dtype=jnp.int32) * cfg.n_lanes
     )[:, None]
 
-    def shard_fn(p_mat, cam_vec, base, slab_offset):
+    def shard_fn(p_mat, cam_vec, base, slab_offset, hint_slab):
         s_idx = jax.lax.axis_index(SAMPLE_AXIS).astype(jnp.int32)
         offsets = jnp.stack(
             [slab_offset[0, 0], s_idx * cfg.spp + base[0], base[1]]
         )
-        rad = _diff_render_flat(cfg, p_mat, cam_vec, offsets)
-        return jax.lax.pmean(rad, SAMPLE_AXIS)
+        rad, work = _diff_render_flat(
+            cfg, p_mat, cam_vec, offsets, hint_slab.reshape(-1)
+        )
+        return (
+            jax.lax.pmean(rad, SAMPLE_AXIS),
+            jax.lax.pmean(work, SAMPLE_AXIS),
+        )
 
     return jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(PIXEL_AXIS, None)),
-        out_specs=P(None, PIXEL_AXIS),
+        in_specs=(P(), P(), P(), P(PIXEL_AXIS, None), P(PIXEL_AXIS, None)),
+        out_specs=(P(None, PIXEL_AXIS), P(PIXEL_AXIS)),
         check_vma=False,
-    )(p_mat, cam_vec, base, slab_offsets)
+    )(p_mat, cam_vec, base, slab_offsets, hint)
 
 
 # Scene leaves that receive gradients (matches parallel/dist.DIFF_FIELDS).
@@ -861,38 +930,65 @@ DIFF_FIELDS = ("center", "radius", "albedo", "fuzz", "ior")
 
 def render_loss_pallas(
     params: dict, scene: Scene, cam: Camera, target: jnp.ndarray,
-    mesh=None, **kw
-) -> jnp.ndarray:
+    mesh=None, return_work: bool = False, **kw
+):
     """Mean-squared pixel loss of the kernel render against `target`.
-    With `mesh`, the forward/backward kernels run sharded over it."""
+    With `mesh`, the forward/backward kernels run sharded over it. With
+    `return_work`, returns (loss, work) where `work` is the step's
+    [H, W] cost map (feed back as next step's `work_hint` to warm-start
+    the primal — the training-loop warm-start carry)."""
     s = scene.replace(**params)
-    if mesh is not None:
-        img = render_pallas_diff_distributed(s, cam, mesh=mesh, **kw)
-    else:
-        img = render_pallas_diff(s, cam, **kw)
-    return jnp.mean((img - target) ** 2)
+    fn = (
+        functools.partial(render_pallas_diff_distributed, mesh=mesh)
+        if mesh is not None else render_pallas_diff
+    )
+    out = fn(s, cam, return_work=return_work, **kw)
+    img, work = out if return_work else (out, None)
+    loss = jnp.mean((img - target) ** 2)
+    if return_work:
+        return loss, work
+    return loss
 
 
 def render_grads_pallas(
     params: dict, scene: Scene, cam: Camera, target: jnp.ndarray,
-    mesh=None, **kw
+    mesh=None, return_work: bool = False, **kw
 ):
     """(loss, grads) of the Pallas render w.r.t. scene parameters —
     the kernel-speed counterpart of parallel/dist.render_grads. With
     `mesh`, gradients are computed shard-locally and psum-reduced over
     the mesh (parallel/dist.py's DP gradient all-reduce, at kernel
-    speed)."""
-    return jax.value_and_grad(render_loss_pallas)(
-        params, scene, cam, target, mesh=mesh, **kw
+    speed). With `return_work`: ((loss, work), grads)."""
+    return jax.value_and_grad(render_loss_pallas, has_aux=return_work)(
+        params, scene, cam, target, mesh=mesh, return_work=return_work, **kw
     )
 
 
 def train_step_pallas(
     params: dict, scene: Scene, cam: Camera, target: jnp.ndarray,
-    mesh=None, lr: float = 1e-2, **kw
+    mesh=None, lr: float = 1e-2, work_hint=None, return_work: bool = False,
+    **kw
 ):
     """One SGD step of inverse rendering at kernel speed: returns
-    (loss, new_params) — the Pallas twin of parallel/dist.train_step."""
-    loss, grads = render_grads_pallas(params, scene, cam, target, mesh=mesh, **kw)
+    (loss, new_params) — the Pallas twin of parallel/dist.train_step.
+
+    Warm-start carry: pass the previous step's `work` back as
+    `work_hint` and set `return_work=True` to get (loss, new_params,
+    work) — the primal then pre-sorts its lanes by the prior step's
+    measured cost map and runs the single-pass warm schedule (the
+    backward replay already warm-starts from the SAME step's map
+    unconditionally). Pure scheduling: loss and gradients are
+    unchanged for any hint."""
+    if return_work:
+        (loss, work), grads = render_grads_pallas(
+            params, scene, cam, target, mesh=mesh, return_work=True,
+            work_hint=work_hint, **kw
+        )
+    else:
+        loss, grads = render_grads_pallas(
+            params, scene, cam, target, mesh=mesh, work_hint=work_hint, **kw
+        )
     new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
+    if return_work:
+        return loss, new_params, work
     return loss, new_params

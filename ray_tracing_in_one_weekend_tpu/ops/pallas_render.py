@@ -67,6 +67,7 @@ from __future__ import annotations
 
 import functools
 import math
+from collections import OrderedDict
 
 import jax
 import jax.numpy as jnp
@@ -114,7 +115,7 @@ SI_ROWS = 8
 # Camera scalar vector layout (SMEM).
 # [0:3] center, [3:6] pixel00, [6:9] delta_u, [9:12] delta_v,
 # [12:15] defocus_disk_u, [15:18] defocus_disk_v, [18] defocus_angle,
-# [19] image_width (as float), [20] seed-as-float unused, rest pad.
+# [19] image_width (as float), [20] t_min epsilon, rest pad.
 CAM_LEN = 24
 
 
@@ -156,7 +157,13 @@ def pack_scene(scene: Scene) -> jnp.ndarray:
     return rows
 
 
-def pack_camera(cam: Camera) -> np.ndarray:
+def pack_camera(cam: Camera, t_min: float = T_MIN_EPS) -> np.ndarray:
+    """Camera constants + the shadow-acne epsilon as runtime SMEM data.
+
+    `t_min` defaults to the reference's 1e-3 epsilon
+    (reference: src/gpu/camera.h:118, src/cpu/main.cc:19); it rides in
+    the camera vector (not a kernel static) so the negative-example test
+    can disable it without recompiling a second kernel variant."""
     v = np.zeros(CAM_LEN, np.float32)
     v[0:3] = np.asarray(cam.center)
     v[3:6] = np.asarray(cam.pixel00_loc)
@@ -166,6 +173,7 @@ def pack_camera(cam: Camera) -> np.ndarray:
     v[15:18] = np.asarray(cam.defocus_disk_v)
     v[18] = float(cam.defocus_angle)
     v[19] = float(cam.image_width)
+    v[20] = float(t_min)
     return v
 
 
@@ -265,11 +273,12 @@ def _unpack_cam(cam_ref):
             defocus_on, width)
 
 
-def _sweep_ts(o, d, pt_ref, n_chunks):
+def _sweep_ts(o, d, pt_ref, n_chunks, t_min=T_MIN_EPS):
     """Candidate nearest-root t for every (sphere, ray) pair, as a list of
     [CHUNK, T] slabs (see _render_kernel docstring for the chunk-sweep
     rationale). `d` MUST be unit length (a = 1, so the quadratic is
-    t^2 + 2*half_b*t + cc with roots -half_b -+ sqrt(disc))."""
+    t^2 + 2*half_b*t + cc with roots -half_b -+ sqrt(disc)). `t_min` is
+    the shadow-acne epsilon, a traced scalar (cam_vec[20])."""
     o_dot_d = _dot3(o, d)
     o_sq = _dot3(o, o)
 
@@ -310,8 +319,8 @@ def _sweep_ts(o, d, pt_ref, n_chunks):
         # Nearest root strictly beyond the shadow-acne epsilon
         # (reference: src/gpu/hittable_list.h:49-65 — the shrinking
         # closest_so_far interval becomes the global min below).
-        t_c = jnp.where(root_near > T_MIN_EPS, root_near, root_far)
-        t_cs.append(jnp.where(t_c > T_MIN_EPS, t_c, T_MISS))
+        t_c = jnp.where(root_near > t_min, root_near, root_far)
+        t_cs.append(jnp.where(t_c > t_min, t_c, T_MISS))
     return t_cs
 
 
@@ -502,10 +511,13 @@ def _render_kernel(
     h0 = _pcg(pix.astype(jnp.uint32) ^ _pcg(seed_ref[0].astype(jnp.uint32)))
 
     n_chunks = n_spheres // CHUNK
+    t_min = cam_ref[20]
 
     def closest_hit(o, d):
         """Sphere-chunked closest hit (see _sweep_ts / _select_hit)."""
-        t_best, params, _ = _select_hit(p_ref, _sweep_ts(o, d, pt_ref, n_chunks))
+        t_best, params, _ = _select_hit(
+            p_ref, _sweep_ts(o, d, pt_ref, n_chunks, t_min)
+        )
         return t_best, params
 
     scatter = _scatter_block
@@ -814,10 +826,11 @@ def _compact(sf, si, tile, spp):
     block_work = jnp.sum(rem_sorted.reshape(n_blocks, BLOCK), axis=1)
     block_order = jnp.argsort(-block_work, stable=True)  # [n_blocks]
     # The (n_blocks, BLOCK) reshapes above and the per-tile lane sorts
-    # only line up when tiles are whole numbers of blocks.
-    assert tile % BLOCK == 0 and blocks_per_tile > 0, (
-        f"tile ({tile}) must be a positive multiple of {BLOCK}"
-    )
+    # only line up when tiles are whole numbers of blocks. ValueError,
+    # not assert: asserts vanish under `python -O` and this guards a
+    # CLI-reachable parameter (render entry points validate too).
+    if tile % BLOCK != 0 or blocks_per_tile <= 0:
+        raise ValueError(f"tile ({tile}) must be a positive multiple of {BLOCK}")
 
     def permute(x):
         # int rows (RNG stream words use all 32 bits) must not
@@ -977,6 +990,58 @@ def _default_budget(spp: int) -> int:
     return max(16, 3 * spp)
 
 
+def _check_tile(tile: int) -> None:
+    """ValueError (not assert — stripped under `python -O`) on tile
+    values the compaction reshapes cannot handle; `tile` is reachable
+    from the CLI (`--tile`)."""
+    if tile <= 0 or tile % 128 != 0:
+        raise ValueError(f"tile ({tile}) must be a positive multiple of 128")
+
+
+# ---------------------------------------------------------------------------
+# Auto warm-start: per-(scene, camera) cost-map cache.
+#
+# Maps a cheap identity key -> the previous render's per-lane cost map
+# ([padded_lanes] f32, flat global-pixel order, zero-padded). On a hit
+# the next render of the same scene/camera pre-sorts its lanes into
+# cost-homogeneous tiles and runs ONE uncompacted pass at near-ideal
+# occupancy (measured v5e, bench preset: 0.236s vs the cold 0.305s) —
+# the steady-state rate of every repeated-render workload: bench timing
+# loops, progressive/checkpoint accumulation, seed ensembles, training
+# steps. The CUDA analogue re-runs its hot loop with no scheduling at
+# all (reference: src/gpu/camera.h:169-195); warm-start is what makes
+# the budgeted multipass scheduler converge to that shape.
+#
+# Safety: the hint is a pure lane PERMUTATION — _multipass produces a
+# bit-identical image for any hint value (tests/test_pallas.py pins
+# this) — so a STALE or WRONG cache hit can only cost throughput, never
+# correctness. That is why identity (array object ids + camera bytes),
+# not array content, is a sufficient key; the padded lane count in the
+# key rules out shape mismatches.
+# ---------------------------------------------------------------------------
+_WORK_CACHE: OrderedDict = OrderedDict()
+_WORK_CACHE_MAX = 8
+
+
+def _warm_cache_key(scene, cam_bytes: bytes, padded: int, tile: int, extra=()):
+    """Identity key for the cost-map cache, or None when uncacheable
+    (scene arrays are tracers — render_pallas called under jit/grad,
+    where host-side caching would leak tracers)."""
+    if isinstance(scene.center, jax.core.Tracer):
+        return None
+    return (
+        id(scene.center), id(scene.radius), scene.center.shape[0],
+        cam_bytes, padded, tile, *extra,
+    )
+
+
+def _warm_cache_put(key, work) -> None:
+    _WORK_CACHE[key] = work
+    _WORK_CACHE.move_to_end(key)
+    while len(_WORK_CACHE) > _WORK_CACHE_MAX:
+        _WORK_CACHE.popitem(last=False)
+
+
 def render_pallas(
     scene: Scene,
     cam: Camera,
@@ -990,6 +1055,8 @@ def render_pallas(
     sample_offset: int = 0,
     work_hint: jnp.ndarray | None = None,
     return_work: bool = False,
+    warm: bool = True,
+    t_min: float = T_MIN_EPS,
 ):
     """Render the full image with the Pallas TPU kernel -> [H, W, 3].
 
@@ -1000,21 +1067,45 @@ def render_pallas(
     rendering [0, k) then [k, k+n) and averaging equals one (k+n)-sample
     render (the progressive-checkpoint contract, utils/checkpoint.py).
 
-    Warm-start scheduling: `return_work=True` additionally returns the
-    per-pixel cost map [H, W] (busy kernel iterations); passing a prior
-    render's map back as `work_hint` pre-sorts the lanes so the first
-    pass already runs cost-homogeneous tiles (see _multipass — the
-    image stays bit-identical, only throughput changes). Intended for
-    repeated renders of the same scene: training steps, progressive
-    accumulation, seed ensembles. With a hint, `n_passes` defaults to 1
-    (the pre-sort replaces run-time compaction entirely — measured v5e,
-    bench preset: 0.236s vs the cold default's 0.305s, +29%); without
-    one it defaults to DEFAULT_PASSES.
+    Warm-start scheduling (the default): every render records its
+    per-pixel cost map in a module-level cache keyed on scene/camera
+    identity; the NEXT render of the same scene/camera (any seed/sample
+    window) pre-sorts its lanes by that map and runs ONE uncompacted
+    pass at near-ideal occupancy instead of the cold 3-pass compaction
+    schedule — measured v5e, bench preset: 0.236s warm vs 0.305s cold,
+    bit-identical image (the hint is a pure lane permutation; see
+    _WORK_CACHE). `warm=False` disables the cache (always cold);
+    passing `work_hint` explicitly (a prior `return_work=True` map,
+    [H, W] or flat) overrides it. With any hint, `n_passes` defaults to
+    1; without one, DEFAULT_PASSES.
+
+    `t_min` is the shadow-acne epsilon (reference: src/cpu/main.cc:19);
+    runtime data, exposed for the negative-example test.
     """
-    if n_passes is None:
-        n_passes = 1 if work_hint is not None else DEFAULT_PASSES
+    _check_tile(tile)
     spp = cam.samples_per_pixel if spp is None else spp
     max_depth = cam.max_depth if max_depth is None else max_depth
+    w, h = cam.image_width, cam.image_height
+    n_pixels = w * h
+    padded = -(-n_pixels // tile) * tile
+
+    cam_np = pack_camera(cam, t_min)
+    cam_vec = jnp.asarray(cam_np)
+    base = jnp.asarray([seed, sample_offset], jnp.int32)
+
+    hint = None
+    cache_key = None
+    if work_hint is not None:
+        hint = jnp.zeros(padded, jnp.float32).at[:n_pixels].set(
+            jnp.asarray(work_hint, jnp.float32).reshape(-1)[:n_pixels]
+        )
+    elif warm:
+        cache_key = _warm_cache_key(scene, cam_np.tobytes(), padded, tile)
+        if cache_key is not None:
+            hint = _WORK_CACHE.get(cache_key)
+    use_hint = hint is not None
+    if n_passes is None:
+        n_passes = 1 if use_hint else DEFAULT_PASSES
     budget = _default_budget(spp) if budget is None else budget
     if isinstance(budget, (tuple, list)):
         budget = tuple(budget)  # lists are unhashable as jit statics
@@ -1023,27 +1114,19 @@ def render_pallas(
                 f"budget schedule has {len(budget)} entries but "
                 f"n_passes={n_passes} needs {n_passes - 1} budgeted passes"
             )
-    w, h = cam.image_width, cam.image_height
-    n_pixels = w * h
-    padded = -(-n_pixels // tile) * tile
-
-    cam_vec = jnp.asarray(pack_camera(cam))
-    base = jnp.asarray([seed, sample_offset], jnp.int32)
-    if work_hint is not None:
-        hint = jnp.zeros(padded, jnp.float32).at[:n_pixels].set(
-            jnp.asarray(work_hint, jnp.float32).reshape(-1)[:n_pixels]
-        )
-    else:
-        hint = jnp.zeros((1,), jnp.float32)  # dummy, not consumed
+    want_work = return_work or cache_key is not None
 
     out = _render_single_jit(
-        scene, cam_vec, base, hint,
+        scene, cam_vec, base,
+        hint if use_hint else jnp.zeros((1,), jnp.float32),
         tile=tile, spp=spp, max_depth=max_depth, budget=budget,
         n_passes=n_passes, interpret=interpret,
         n_pixels=n_pixels, padded=padded,
-        use_hint=work_hint is not None, with_work=return_work,
+        use_hint=use_hint, with_work=want_work,
     )
-    rad, work = out if return_work else (out, None)
+    rad, work = out if want_work else (out, None)
+    if cache_key is not None:
+        _warm_cache_put(cache_key, work)  # [padded], ready to re-feed
     img = rad[:, :n_pixels]  # [3, n_pixels]
     img = jnp.transpose(img).reshape(h, w, 3)
     if return_work:
@@ -1055,12 +1138,13 @@ def render_pallas(
     jax.jit,
     static_argnames=(
         "mesh", "tile", "spp_local", "max_depth", "budget", "n_passes",
-        "interpret", "n_pixels", "shard_pixels",
+        "interpret", "n_pixels", "shard_pixels", "use_hint", "with_work",
     ),
 )
 def _render_dist_jit(
-    scene, cam_vec, base, *, mesh, tile, spp_local, max_depth, budget,
-    n_passes, interpret, n_pixels, shard_pixels,
+    scene, cam_vec, base, hint, *, mesh, tile, spp_local, max_depth,
+    budget, n_passes, interpret, n_pixels, shard_pixels,
+    use_hint=False, with_work=False,
 ):
     """Mesh-sharded render as ONE jitted program, cached on
     (mesh, statics) at module level — a second call with a new seed or
@@ -1069,7 +1153,15 @@ def _render_dist_jit(
     per call of pure retrace overhead on a 1-device mesh; see
     tests/test_pallas_dist.py::test_distributed_second_call_no_retrace).
 
-    `base` = i32 [2] (seed, sample_offset), traced.
+    `base` = i32 [2] (seed, sample_offset), traced. `hint` is the
+    per-pixel cost map in slab layout [n_pix_shards, shard_pixels]
+    (= flat global-pixel order, zero-padded — slabs are contiguous
+    pixel ranges), sharded over the pixel axis and replicated over the
+    sample axis; each shard pre-sorts its own slab (compaction is
+    shard-local, so warm-start needs no collectives). With `with_work`,
+    also returns the measured cost map [n_pix_shards * shard_pixels]
+    (pmean over sample shards — their schedules may differ, the mean
+    predicts all of them).
     """
     from jax.sharding import PartitionSpec as P
 
@@ -1084,7 +1176,7 @@ def _render_dist_jit(
     # Per-pixel-shard slab offsets, replicated along the sample axis.
     offsets = (jnp.arange(n_pix_shards, dtype=jnp.int32) * shard_pixels)[:, None]
 
-    def shard_fn(p_mat, pt_mat, cam_vec, base, offset):
+    def shard_fn(p_mat, pt_mat, cam_vec, base, offset, hint_slab):
         s_idx = jax.lax.axis_index(SAMPLE_AXIS).astype(jnp.int32)
         scalars = jnp.stack(
             [
@@ -1095,19 +1187,32 @@ def _render_dist_jit(
             ]
         )
         sf, si = _init_state(offset[0, 0], shard_pixels, n_pixels, spp_local)
-        rad = _multipass(
+        out = _multipass(
             p_mat, pt_mat, cam_vec, scalars, sf, si,
             tile, spp_local, max_depth, budget, n_passes, interpret,
+            work_hint=hint_slab.reshape(-1) if use_hint else None,
+            with_work=with_work,
         )  # [3, shard_pixels], local-pixel order
-        return jax.lax.pmean(rad, SAMPLE_AXIS)
+        if with_work:
+            rad, work = out
+            return (
+                jax.lax.pmean(rad, SAMPLE_AXIS),
+                jax.lax.pmean(work, SAMPLE_AXIS),
+            )
+        return jax.lax.pmean(out, SAMPLE_AXIS)
 
+    out_specs = (
+        (P(None, PIXEL_AXIS), P(PIXEL_AXIS)) if with_work
+        else P(None, PIXEL_AXIS)
+    )
     return jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(PIXEL_AXIS, None)),
-        out_specs=P(None, PIXEL_AXIS),
+        in_specs=(P(), P(), P(), P(), P(PIXEL_AXIS, None),
+                  P(PIXEL_AXIS, None)),
+        out_specs=out_specs,
         check_vma=False,
-    )(p_mat, pt_mat, cam_vec, base, offsets)  # [3, padded]
+    )(p_mat, pt_mat, cam_vec, base, offsets, hint)  # [3, padded]
 
 
 def render_pallas_distributed(
@@ -1119,10 +1224,14 @@ def render_pallas_distributed(
     spp: int | None = None,
     max_depth: int | None = None,
     interpret: bool = False,
-    n_passes: int = DEFAULT_PASSES,
+    n_passes: int | None = None,
     budget: int | None = None,
     sample_offset: int = 0,
-) -> jnp.ndarray:
+    work_hint: jnp.ndarray | None = None,
+    return_work: bool = False,
+    warm: bool = True,
+    t_min: float = T_MIN_EPS,
+):
     """Mesh-sharded Pallas render -> [H, W, 3].
 
     Pixel axis: each device runs the kernel grid over a contiguous,
@@ -1136,6 +1245,11 @@ def render_pallas_distributed(
     lane permutation within each shard's slab, so no collectives beyond
     the final pmean. The compiled program is cached on (mesh, statics);
     seed and sample_offset are traced data.
+
+    Warm-start: same contract as `render_pallas` — auto by default via
+    the module cost-map cache (keyed additionally on the mesh), or an
+    explicit `work_hint` ([H, W] or flat per-pixel map; each shard
+    takes its own slab slice). Bit-identical image either way.
     """
     from ray_tracing_in_one_weekend_tpu.parallel.dist import (
         PIXEL_AXIS,
@@ -1145,6 +1259,7 @@ def render_pallas_distributed(
 
     if mesh is None:
         mesh = make_mesh()
+    _check_tile(tile)
     spp = cam.samples_per_pixel if spp is None else spp
     max_depth = cam.max_depth if max_depth is None else max_depth
 
@@ -1156,20 +1271,49 @@ def render_pallas_distributed(
             f"'{SAMPLE_AXIS}' mesh axis of size {n_smp_shards}"
         )
     spp_local = spp // n_smp_shards
-    budget = _default_budget(spp_local) if budget is None else budget
 
     w, h = cam.image_width, cam.image_height
     n_pixels = w * h
     shard_pixels = -(-n_pixels // (n_pix_shards * tile)) * tile
+    total = n_pix_shards * shard_pixels
 
-    cam_vec = jnp.asarray(pack_camera(cam))
+    cam_np = pack_camera(cam, t_min)
+    cam_vec = jnp.asarray(cam_np)
     base = jnp.asarray([seed, sample_offset], jnp.int32)
+
+    hint = None
+    cache_key = None
+    if work_hint is not None:
+        hint = jnp.zeros(total, jnp.float32).at[:n_pixels].set(
+            jnp.asarray(work_hint, jnp.float32).reshape(-1)[:n_pixels]
+        )
+    elif warm:
+        cache_key = _warm_cache_key(
+            scene, cam_np.tobytes(), total, tile,
+            extra=(tuple(mesh.shape.items()),),
+        )
+        if cache_key is not None:
+            hint = _WORK_CACHE.get(cache_key)
+    use_hint = hint is not None
+    if n_passes is None:
+        n_passes = 1 if use_hint else DEFAULT_PASSES
+    budget = _default_budget(spp_local) if budget is None else budget
+    want_work = return_work or cache_key is not None
+
     out = _render_dist_jit(
         scene, cam_vec, base,
+        hint.reshape(n_pix_shards, shard_pixels) if use_hint
+        else jnp.zeros((n_pix_shards, 1), jnp.float32),
         mesh=mesh, tile=tile, spp_local=spp_local, max_depth=max_depth,
         budget=budget, n_passes=n_passes, interpret=interpret,
         n_pixels=n_pixels, shard_pixels=shard_pixels,
+        use_hint=use_hint, with_work=want_work,
     )
-
-    img = out[:, :n_pixels]
-    return jnp.transpose(img).reshape(h, w, 3)
+    rad, work = out if want_work else (out, None)
+    if cache_key is not None:
+        _warm_cache_put(cache_key, work)  # [total], flat pixel order
+    img = rad[:, :n_pixels]
+    img = jnp.transpose(img).reshape(h, w, 3)
+    if return_work:
+        return img, work[:n_pixels].reshape(h, w)
+    return img

@@ -9,9 +9,12 @@ plus a sample counter, and is serializable at any point.
 
 Because every sample draws from a stream keyed by the GLOBAL
 (pixel, sample) index (ops/render.py `sample_offset`), resuming from a
-checkpoint and rendering samples [k, k+n) produces the BIT-IDENTICAL
-image a single k+n-sample run would have produced — checkpointing is
-free of statistical cost, unlike the reference's ad-hoc seed merging.
+checkpoint and rendering samples [k, k+n) draws the IDENTICAL sample
+set a single k+n-sample run would have drawn — checkpointing is free
+of statistical cost, unlike the reference's ad-hoc seed merging. The
+accumulated mean equals the monolithic mean up to float summation
+order (the batch boundary re-associates the per-sample sum; measured
+<= 2e-7 linear — at most one u8 level on an exact rounding boundary).
 """
 
 from __future__ import annotations
@@ -96,20 +99,23 @@ def accumulate(
             sample_offset=done,
             tile=DEFAULT_TILE if tile is None else tile,
             interpret=interpret,
+            work_hint=state.work,  # [H, W] map; valid on every mesh
+            return_work=True,
         )
         if mesh is not None:
-            # (Warm-start hints are single-chip for now: the sharded
-            # path would need per-slab hint slices.)
-            colors = render_pallas_distributed(scene, cam, mesh=mesh, **kw)
+            # Sharded warm-start: each shard pre-sorts its own slab
+            # slice of the carried map (ops/pallas_render.py
+            # `_render_dist_jit` — compaction is shard-local).
+            colors, work = render_pallas_distributed(
+                scene, cam, mesh=mesh, **kw
+            )
         else:
-            colors, work = render_pallas(
-                scene, cam, work_hint=state.work, return_work=True, **kw
-            )
-            return RenderState(
-                accum=state.accum + colors * spp_batch,
-                spp_done=state.spp_done + spp_batch,
-                work=work,
-            )
+            colors, work = render_pallas(scene, cam, **kw)
+        return RenderState(
+            accum=state.accum + colors * spp_batch,
+            spp_done=state.spp_done + spp_batch,
+            work=work,
+        )
     elif mesh is not None:
         from ray_tracing_in_one_weekend_tpu.parallel.dist import (
             render_distributed,

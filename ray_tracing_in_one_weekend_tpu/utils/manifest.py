@@ -22,6 +22,7 @@ import hashlib
 import json
 import os
 import subprocess
+import sys
 
 # Files whose content determines rendered pixel values. Paths relative
 # to the repo root.
@@ -111,6 +112,13 @@ def record(gallery_dir: str, artifact: str, info: dict) -> None:
     m[artifact] = {
         **info,
         "render_sources_digest": render_sources_digest(root),
+        # ast.unparse formatting can drift across Python MINOR versions,
+        # which would falsely flag artifacts stale when the render and
+        # CI interpreters differ — record the version so the staleness
+        # test can distinguish real code drift from interpreter drift
+        # (tests/test_golden_fullres.py skips digest comparison on
+        # minor-version mismatch).
+        "python_version": "%d.%d" % sys.version_info[:2],
         "git_commit": _git_head(root),
     }
     with open(os.path.join(gallery_dir, MANIFEST_NAME), "w") as f:

@@ -44,12 +44,33 @@ class BatchCorruptError(RuntimeError):
     """A rendered batch contained non-finite pixels."""
 
 
-def _validate(colors_state: ckpt.RenderState) -> None:
+class CheckpointCorruptError(RuntimeError):
+    """A LOADED checkpoint contained non-finite pixels — re-rendering
+    batches can never fix this; delete or re-create the checkpoint."""
+
+
+def validate_state(state: ckpt.RenderState) -> None:
+    """Guard a freshly loaded checkpoint ONCE, with a distinct error:
+    a NaN inherited from disk would otherwise make every batch retry
+    fail with a misleading 'corrupt batch' message (retries re-render
+    the batch, which cannot repair pre-existing state)."""
+    if not bool(jnp.all(jnp.isfinite(state.accum))):
+        raise CheckpointCorruptError(
+            "non-finite pixels in LOADED checkpoint state — delete the "
+            "checkpoint file and re-render"
+        )
+
+
+def _validate(new_state: ckpt.RenderState, prev: ckpt.RenderState) -> None:
     # The float-guard analogue of checkCudaErrors' post-call check
     # (utils/debug.py has the checkify form for jit-internal guards;
-    # here the batch boundary is a natural host sync point).
-    if not bool(jnp.all(jnp.isfinite(colors_state.accum))):
-        raise BatchCorruptError("non-finite pixels in accumulated batch")
+    # here the batch boundary is a natural host sync point). Only the
+    # NEW batch's contribution is checked — prev.accum is validated at
+    # load time (validate_state), so a non-finite delta implicates this
+    # batch and a retry is the right remedy.
+    delta = new_state.accum - prev.accum
+    if not bool(jnp.all(jnp.isfinite(delta))):
+        raise BatchCorruptError("non-finite pixels in rendered batch")
 
 
 def accumulate_resilient(
@@ -79,7 +100,7 @@ def accumulate_resilient(
             new_state = ckpt.accumulate(
                 state, scene, cam, base_key, spp_batch, **accumulate_kw
             )
-            _validate(new_state)
+            _validate(new_state, state)
             if stats is not None:
                 stats.batches += 1
             return new_state
@@ -130,6 +151,7 @@ def render_resilient(
 
     if checkpoint_path and os.path.exists(checkpoint_path):
         state = ckpt.load(checkpoint_path)
+        validate_state(state)
     else:
         state = ckpt.new_state(cam)
 

@@ -101,6 +101,8 @@ _GALLERY_DIR = os.path.join(os.path.dirname(_HERE), "gallery")
 
 
 def test_gallery_manifest_fresh():
+    import sys
+
     from ray_tracing_in_one_weekend_tpu.utils import manifest
 
     m = manifest.load(_GALLERY_DIR)
@@ -111,9 +113,17 @@ def test_gallery_manifest_fresh():
     missing = [f for f in pngs if f not in m]
     assert not missing, f"gallery artifacts missing manifest entries: {missing}"
     digest = manifest.render_sources_digest()
-    stale = [
-        f for f in pngs if m[f].get("render_sources_digest") != digest
-    ]
+    this_py = "%d.%d" % sys.version_info[:2]
+    stale = []
+    for f in pngs:
+        # ast.unparse output can drift across Python minor versions, so
+        # a digest recorded under a different interpreter is not
+        # comparable (ADVICE r4): skip those entries rather than flag a
+        # false staleness.
+        if m[f].get("python_version", this_py) != this_py:
+            continue
+        if m[f].get("render_sources_digest") != digest:
+            stale.append(f)
     assert not stale, (
         f"render-determining sources changed since these artifacts were "
         f"rendered — regenerate with scripts/render_gallery.py / "

@@ -402,3 +402,109 @@ def test_warm_start_hint_bit_identical_and_checkpoint_carry():
         if n == 3:
             assert state.work is not None
     np.testing.assert_allclose(np.asarray(state.image), base, atol=2e-7)
+
+
+def test_auto_warm_start_bit_identical():
+    """Auto warm-start (the default): the first render of a scene/camera
+    populates the module cost-map cache, every later render runs the
+    warm single-pass schedule — and the image is BITWISE identical to a
+    cold render (the VERDICT r4 item-1 contract: the hint is a pure
+    lane permutation)."""
+    from ray_tracing_in_one_weekend_tpu.ops import pallas_render as pr
+
+    sc = scene_lib.three_sphere_scene(pad_to=128)
+    cam = _cam(width=32, spp=8)
+    cold = np.asarray(render_pallas(sc, cam, seed=3, tile=128,
+                                    interpret=True, warm=False))
+
+    pr._WORK_CACHE.clear()
+    first = np.asarray(render_pallas(sc, cam, seed=3, tile=128, interpret=True))
+    assert len(pr._WORK_CACHE) == 1, "first render must populate the cache"
+    second = np.asarray(render_pallas(sc, cam, seed=3, tile=128, interpret=True))
+    assert np.array_equal(cold, first)
+    assert np.array_equal(cold, second)
+
+    # A different seed reuses the same scheduling cache entry (the cost
+    # map is scene-content, not noise) and still renders ITS exact image.
+    cold5 = np.asarray(render_pallas(sc, cam, seed=5, tile=128,
+                                     interpret=True, warm=False))
+    warm5 = np.asarray(render_pallas(sc, cam, seed=5, tile=128, interpret=True))
+    assert np.array_equal(cold5, warm5)
+    assert len(pr._WORK_CACHE) == 1
+
+
+def test_auto_warm_start_distributed_bit_identical():
+    """Auto warm-start on a mesh: the sharded render carries per-slab
+    cost maps through the same module cache; warm sharded output equals
+    both the cold sharded and the single-chip render."""
+    from ray_tracing_in_one_weekend_tpu.parallel.dist import make_mesh
+
+    from ray_tracing_in_one_weekend_tpu.ops.pallas_render import (
+        render_pallas_distributed,
+    )
+
+    sc = scene_lib.three_sphere_scene(pad_to=128)
+    cam = _cam(width=32, spp=8)
+    mesh = make_mesh((4, 2))
+    cold = np.asarray(render_pallas_distributed(
+        sc, cam, seed=0, mesh=mesh, tile=128, interpret=True, warm=False))
+    first = np.asarray(render_pallas_distributed(
+        sc, cam, seed=0, mesh=mesh, tile=128, interpret=True))
+    warm = np.asarray(render_pallas_distributed(
+        sc, cam, seed=0, mesh=mesh, tile=128, interpret=True))
+    assert np.array_equal(cold, first)
+    assert np.array_equal(cold, warm)
+
+
+def test_checkpoint_warm_carry_distributed():
+    """The checkpoint accumulator's warm-start carry now covers meshes
+    (VERDICT r4 item 4): batched sharded accumulation — batch 1 cold,
+    batches 2+ warm from the carried [H, W] map — matches the cold
+    monolithic single-chip render."""
+    from ray_tracing_in_one_weekend_tpu.parallel.dist import make_mesh
+    from ray_tracing_in_one_weekend_tpu.utils import checkpoint as ckpt
+
+    sc = scene_lib.three_sphere_scene(pad_to=128)
+    cam = _cam(width=32, spp=8)
+    base = np.asarray(render_pallas(sc, cam, seed=0, tile=128,
+                                    interpret=True, warm=False))
+    mesh = make_mesh((4, 2))
+    state = ckpt.new_state(cam)
+    for n in (4, 4):
+        state = ckpt.accumulate(state, sc, cam, 0, n, backend="pallas",
+                                mesh=mesh, tile=128, interpret=True)
+        assert state.work is not None
+        assert state.work.shape == (cam.image_height, cam.image_width)
+    np.testing.assert_allclose(np.asarray(state.image), base, atol=1e-6)
+
+
+def test_tile_validation():
+    sc = scene_lib.single_sphere_scene(pad_to=128)
+    cam = _cam(width=16, spp=2)
+    with pytest.raises(ValueError, match="multiple of 128"):
+        render_pallas(sc, cam, tile=100, interpret=True)
+
+
+def test_shadow_acne_negative_example():
+    """The reference commits gallery/cpu/shadow-acne-example.png to
+    document what happens WITHOUT the t_min=1e-3 epsilon
+    (reference: src/cpu/main.cc:19): scattered rays re-hit their own
+    sphere at t ~ float-rounding distance and the image breaks into
+    dark speckle. Rendering with the epsilon disabled must reproduce
+    that failure — a large divergence from the correct image, biased
+    DARK (false self-hits absorb instead of escaping to the sky). If
+    this test fails, the epsilon has silently stopped mattering."""
+    sc = scene_lib.three_sphere_scene(pad_to=128)
+    cam = _cam(width=48, spp=8)
+    good = np.asarray(render_pallas(sc, cam, seed=0, tile=128,
+                                    interpret=True, warm=False))
+    acne = np.asarray(render_pallas(sc, cam, seed=0, tile=128,
+                                    interpret=True, warm=False, t_min=0.0))
+    diff = np.abs(acne - good).mean()
+    assert diff > 0.02, (
+        f"disabling the shadow-acne epsilon changed the image by only "
+        f"{diff:.4f} — the t_min epsilon no longer matters"
+    )
+    assert acne.mean() < good.mean() - 0.01, (
+        "shadow acne must darken the image (absorbed self-hits)"
+    )

@@ -57,7 +57,10 @@ def test_distributed_second_call_no_retrace():
     rebuilt and re-traced its shard_map program on EVERY call (~72s of
     pure framework overhead per render on a 1-device mesh). The program
     is now cached at module level keyed on (mesh, statics), with seed
-    and sample_offset as traced data — so a second call with different
+    and sample_offset as traced data. With auto warm-start (round 5),
+    the steady state is TWO programs per (scene, camera, mesh): the
+    cold first call and the warm schedule every later call runs — so
+    call 2 may add the warm variant once, and call 3+ with different
     seed/sample_offset must hit the jit cache, not add an entry."""
     from ray_tracing_in_one_weekend_tpu.ops import pallas_grad as pg
     from ray_tracing_in_one_weekend_tpu.ops import pallas_render as pr
@@ -67,14 +70,28 @@ def test_distributed_second_call_no_retrace():
     mesh = make_mesh((4, 2))
 
     render_pallas_distributed(sc, cam, seed=0, mesh=mesh, tile=128, interpret=True)
+    render_pallas_distributed(  # warm variant compiles here, once
+        sc, cam, seed=1, mesh=mesh, tile=128, interpret=True
+    )
     n0 = pr._render_dist_jit._cache_size()
     render_pallas_distributed(
         sc, cam, seed=7, mesh=mesh, tile=128, interpret=True, sample_offset=4
     )
     assert pr._render_dist_jit._cache_size() == n0, (
-        "second distributed render re-traced (seed/sample_offset must be "
-        "traced data, not part of the cache key)"
+        "steady-state distributed render re-traced (seed/sample_offset "
+        "must be traced data, not part of the cache key)"
     )
+
+    # With the cache disabled, the cold program must also be stable
+    # across seeds (the original round-3 contract).
+    render_pallas_distributed(
+        sc, cam, seed=0, mesh=mesh, tile=128, interpret=True, warm=False
+    )
+    n0 = pr._render_dist_jit._cache_size()
+    render_pallas_distributed(
+        sc, cam, seed=9, mesh=mesh, tile=128, interpret=True, warm=False
+    )
+    assert pr._render_dist_jit._cache_size() == n0
 
     # Same contract for the differentiable sharded path.
     pg.render_pallas_diff_distributed(
@@ -87,8 +104,10 @@ def test_distributed_second_call_no_retrace():
     )
     assert pg._diff_dist_jit._cache_size() == n0
 
-    # And the single-chip entry: new seed reuses the compiled program.
+    # And the single-chip entry: after the warm variant exists, a new
+    # seed reuses the compiled program.
     render_pallas(sc, cam, seed=0, tile=128, interpret=True)
+    render_pallas(sc, cam, seed=1, tile=128, interpret=True)
     n0 = pr._render_single_jit._cache_size()
     render_pallas(sc, cam, seed=5, tile=128, interpret=True, sample_offset=4)
     assert pr._render_single_jit._cache_size() == n0

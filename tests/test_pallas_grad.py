@@ -225,3 +225,45 @@ def test_bwd_group_scheduling_invariance():
             rtol=2e-5, atol=1e-6,
             err_msg=f"bwd_group changed gradient {name}",
         )
+
+
+def test_train_step_warm_carry_invariant():
+    """The training-loop warm-start carry (VERDICT r4 item 4): a step
+    whose PRIMAL warm-starts from the previous step's cost map must
+    produce the identical loss/params (scheduling only). Covers both
+    single-chip and mesh paths."""
+    from ray_tracing_in_one_weekend_tpu.ops.pallas_grad import (
+        train_step_pallas,
+    )
+
+    sc = _scene()
+    cam = _cam(spp=4)
+    params = {k: getattr(sc, k) for k in DIFF_FIELDS}
+    target = jnp.zeros((cam.image_height, cam.image_width, 3), jnp.float32)
+    kw = dict(tile=128, bwd_tile=128, interpret=True)
+
+    loss0, p0 = train_step_pallas(params, sc, cam, target, **kw)
+    loss1, p1, work = train_step_pallas(
+        params, sc, cam, target, return_work=True, **kw
+    )
+    loss2, p2 = train_step_pallas(params, sc, cam, target, work_hint=work, **kw)
+    assert float(loss0) == float(loss1)
+    # The warm primal is bit-identical; gradient summation order in the
+    # backward one-hot accumulation may differ by float rounding.
+    np.testing.assert_allclose(float(loss2), float(loss0), rtol=1e-6)
+    for k in p0:
+        np.testing.assert_allclose(
+            np.asarray(p2[k]), np.asarray(p0[k]), atol=2e-6
+        )
+
+    mesh = make_mesh((4, 2))
+    kw_m = dict(mesh=mesh, spp=4, tile=128, bwd_tile=128, interpret=True)
+    lm, pm, wm = train_step_pallas(
+        params, sc, cam, target, return_work=True, **kw_m
+    )
+    lm2, pm2 = train_step_pallas(params, sc, cam, target, work_hint=wm, **kw_m)
+    np.testing.assert_allclose(float(lm2), float(lm), rtol=1e-6)
+    for k in pm:
+        np.testing.assert_allclose(
+            np.asarray(pm2[k]), np.asarray(pm[k]), atol=2e-6
+        )
