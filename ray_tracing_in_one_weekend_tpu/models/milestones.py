@@ -209,15 +209,24 @@ def refract_trio_scene(pad_to: int = 128) -> Scene:
 
 def render_v2_dielectric(
     scene: Scene, cam: Camera, base_key: jax.Array,
-    spp: int = 16, max_depth: int = 50,
+    spp: int = 16, max_depth: int = 50, mode: str = "always_refract",
 ) -> jnp.ndarray:
-    """The book-v2-era dielectric milestone: refract when Snell admits
-    it, otherwise ABSORB (return false -> black) — no Schlick, no
-    reflected fallback. This is the shading of the 200x100 close-up
-    golden (gallery/cpu/image13): the glass spheres' rims go black at
-    the total-internal-reflection band instead of mirroring, the
-    image's signature look. Lambertian/metal behave as in the final
-    integrator (ops/materials.py). Returns [H, W, 3] linear radiance."""
+    """The pre-Schlick dielectric milestones, two modes:
+
+    * `mode="always_refract"` — scatter = refract(unit_in, n, ratio)
+      unconditionally, where refract puts sqrt(FABS(1 - |r_perp|^2)) in
+      the parallel term (reference: archive/listing54/material.h:57-67
+      + archive/listing53/vec3.h:126-131) — no TIR branch, no Schlick,
+      never absorbs. The 'glass that always refracts' golden
+      (gallery/cpu/image14).
+    * `mode="tir_reflect"` — refract unless total internal reflection,
+      mirror-reflect on TIR, still no Schlick (reference:
+      archive/listing58/material.h:53-80). The deep internal-reflection
+      chains at the rim band produce the dark rings of the 200x100
+      close-up golden (gallery/cpu/image13).
+
+    Lambertian/metal behave as in the final integrator
+    (ops/materials.py). Returns [H, W, 3] linear radiance."""
     w, h = cam.image_width, cam.image_height
     pix = jnp.arange(w * h)
     px, py = pix % w, pix // w
@@ -245,21 +254,28 @@ def render_v2_dielectric(
             new_dir, mat_atten, ok = scatter_sampled(
                 rec, d, unit_sample, u[:, 4]
             )
-            # v2 dielectric override: TIR lanes are ABSORBED, all other
-            # glass lanes refract (the modern path's Schlick reflection
-            # never fires because reflect_u is ignored).
+            # v2 dielectric override (no Schlick — the modern path's
+            # reflectance branch never fires), always scatters.
             unit_in = vm.unit_vector(d)
             ratio = jnp.where(rec.front_face, 1.0 / rec.ior, rec.ior)
             cos_t = jnp.minimum(vm.dot(-unit_in, rec.normal), 1.0)
-            sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 1e-12))
-            tir = ratio * sin_t > 1.0
+            r_perp = ratio[:, None] * (unit_in + cos_t[:, None] * rec.normal)
+            k = 1.0 - jnp.sum(r_perp * r_perp, axis=-1, keepdims=True)
+            if mode == "always_refract":
+                # fabs, not clamp: beyond-critical lanes get the bogus
+                # direction the listing's refract produced
+                # (archive/listing53/vec3.h:129).
+                diel_dir = r_perp - jnp.sqrt(jnp.abs(k)) * rec.normal
+            else:  # tir_reflect (archive/listing58/material.h:66-72)
+                refr = r_perp - jnp.sqrt(jnp.maximum(k, 0.0)) * rec.normal
+                sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+                tir = (ratio * sin_t > 1.0)[:, None]
+                diel_dir = jnp.where(
+                    tir, vm.reflect(unit_in, rec.normal), refr
+                )
             is_diel = rec.mat_type == DIEL
-            new_dir = jnp.where(
-                is_diel[:, None],
-                vm.refract(unit_in, rec.normal, ratio),
-                new_dir,
-            )
-            ok = jnp.where(is_diel, ~tir, ok)
+            new_dir = jnp.where(is_diel[:, None], diel_dir, new_dir)
+            ok = jnp.where(is_diel, True, ok)
             cont = alive & rec.hit & ok
             atten = jnp.where(cont[:, None], atten * mat_atten, atten)
             o = jnp.where(cont[:, None], rec.point, o)

@@ -1,18 +1,25 @@
 """Render a preset workload with the Pallas kernel and commit-ready
-artifact + manifest entry (VERDICT r3 items 6 and 8).
+artifact + manifest entry (VERDICT r3 items 6 and 8; r4 item 2).
 
 Usage: python scripts/render_artifact.py <preset> [spp] [--spp-batch N]
 
 Renders PRESETS[<preset>] (e.g. `gpu` = 1920x1080, 500 spp, defocus
-0.6 deg — reference: src/gpu/camera.h:58-71) through `render_pallas`,
-writes gallery/cover_<W>x<H>_<spp>spp_<preset>.png, and records the
-render in gallery/MANIFEST.json with the render-sources digest so
-tests/test_golden_fullres.py can detect stale artifacts.
+0.6 deg — reference: src/gpu/camera.h:58-62) through the warm
+checkpoint accumulator (utils/checkpoint.py): sample batches accumulate
+ON DEVICE in float32, each batch after the first warm-starts from the
+carried cost map (ops/pallas_render.py work_hint — bit-identical
+pixels, single-pass near-ideal-occupancy schedules), and the only
+per-batch host traffic is a scalar completion barrier. The full image
+is fetched exactly once at the end. This replaced the round-4 version
+that fetched the full framebuffer per batch and re-accumulated in
+float64 on host, which ran the reference's primary GPU workload at
+half the kernel's measured rate (VERDICT r4 weak #2).
 
-Large spp renders are split into sample batches accumulated in float64
-on host (identical global sample streams -> the average equals the
-monolithic render up to f32 summation order), keeping each device
-dispatch well under the tunneled platform's RPC deadline.
+Writes gallery/cover_<W>x<H>_<spp>spp_<preset>.png and records the
+render in gallery/MANIFEST.json with the render-sources digest so
+tests/test_golden_fullres.py can detect stale artifacts. The recorded
+`mrays_per_s` is the steady-state rate (batches after compile/warm-up);
+`mrays_per_s_incl_compile` is the whole-wall-clock rate.
 """
 
 from __future__ import annotations
@@ -36,7 +43,7 @@ def render_preset(preset: str, spp: int | None = None, spp_batch: int = 100,
     from PIL import Image
 
     from ray_tracing_in_one_weekend_tpu.ops.image import to_uint8
-    from ray_tracing_in_one_weekend_tpu.ops.pallas_render import render_pallas
+    from ray_tracing_in_one_weekend_tpu.utils import checkpoint as ckpt
     from ray_tracing_in_one_weekend_tpu.utils import manifest
     from ray_tracing_in_one_weekend_tpu.utils.config import (
         PRESETS,
@@ -55,20 +62,34 @@ def render_preset(preset: str, spp: int | None = None, spp_batch: int = 100,
           f"platform={jax.devices()[0].platform}", file=sys.stderr)
 
     t0 = time.perf_counter()
-    acc = np.zeros((h, w, 3), np.float64)
-    done = 0
-    while done < spp:
-        b = min(spp_batch, spp - done)
-        part = render_pallas(scene, cam, seed=config.seed, spp=b,
-                             sample_offset=done, interpret=interpret)
-        acc += np.asarray(part, np.float64) * b
-        done += b
+    state = ckpt.new_state(cam)
+    batch_times = []
+    while int(state.spp_done) < spp:
+        b = min(spp_batch, spp - int(state.spp_done))
+        tb = time.perf_counter()
+        state = ckpt.accumulate(
+            state, scene, cam, config.seed, b,
+            backend="pallas", interpret=interpret,
+        )
+        float(jnp.sum(state.spp_done))  # scalar completion barrier
+        # Accumulation runs ON DEVICE; force it so the next batch's
+        # timing is honest (spp_done alone does not depend on accum).
+        jax.block_until_ready(state.accum)
+        batch_times.append(time.perf_counter() - tb)
+        done = int(state.spp_done)
         print(f"artifact[{preset}]: samples {done}/{spp} "
-              f"({time.perf_counter() - t0:.0f}s)", file=sys.stderr)
-    img = jnp.asarray(acc / spp, jnp.float32)
+              f"(+{b} in {batch_times[-1]:.2f}s, "
+              f"{time.perf_counter() - t0:.0f}s total)", file=sys.stderr)
+    img = state.image
     u8 = np.asarray(to_uint8(img))
     t = time.perf_counter() - t0
-    mrays = w * h * spp / t / 1e6
+    mrays_incl = w * h * spp / t / 1e6
+    # Steady state: batches after compile (batch 1) and the warm-variant
+    # compile (batch 2). Falls back to all-but-first, then to total.
+    skip = 2 if len(batch_times) > 2 else (1 if len(batch_times) > 1 else 0)
+    steady_t = sum(batch_times[skip:])
+    steady_rays = w * h * (spp - skip * spp_batch)
+    mrays = (steady_rays / steady_t / 1e6) if steady_t > 0 else mrays_incl
 
     os.makedirs(out_dir, exist_ok=True)
     name = f"cover_{w}x{h}_{spp}spp_{preset}.png"
@@ -81,10 +102,13 @@ def render_preset(preset: str, spp: int | None = None, spp_batch: int = 100,
         "backend": "pallas-interpret" if interpret else "pallas-tpu",
         "render_seconds": round(t, 1),
         "mrays_per_s": round(mrays, 1),
+        "mrays_per_s_incl_compile": round(mrays_incl, 1),
+        "batch_seconds": [round(x, 2) for x in batch_times],
         "mean_u8": round(float(u8.mean()), 3),
     })
-    print(f"artifact[{preset}]: {name} in {t:.0f}s ({mrays:.1f} Mrays/s incl "
-          f"compile), mean {u8.mean():.1f}", file=sys.stderr)
+    print(f"artifact[{preset}]: {name} in {t:.0f}s "
+          f"({mrays:.1f} Mrays/s steady, {mrays_incl:.1f} incl compile), "
+          f"mean {u8.mean():.1f}", file=sys.stderr)
     return name
 
 
