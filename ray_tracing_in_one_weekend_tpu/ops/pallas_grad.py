@@ -599,19 +599,30 @@ def _primal_flat(cfg: _DiffCfg, p_mat, cam_vec, offsets, hint,
     the training-loop analogue of render_pallas's auto warm-start;
     pure scheduling, bit-identical primal).
     """
+    from ray_tracing_in_one_weekend_tpu.ops.pallas_render import (
+        _perm_from_hint,
+    )
+
     padded = -(-cfg.n_lanes // cfg.tile) * cfg.tile
     scalars = jnp.stack(
         [offsets[2], offsets[0], offsets[1], jnp.int32(0)]
     )
     sf, si = _init_state(offsets[0], padded, cfg.n_pixels_total, cfg.spp)
     if cfg.use_hint:
-        work_hint = jnp.zeros(padded, jnp.float32).at[: cfg.n_lanes].set(hint)
+        # Full cost sort of the carried map (pallas_render's warm
+        # schedule): the in-step ~27 ms argsort buys ~70 ms of
+        # occupancy over the two-level presort at the bench preset.
+        padded_hint = jnp.zeros(padded, jnp.float32).at[: cfg.n_lanes].set(
+            hint
+        )
+        perm2 = _perm_from_hint(padded_hint).reshape(2, padded)
+        work_perm = (perm2[0], perm2[1])
     else:
-        work_hint = None
+        work_perm = None
     out = _multipass(
         p_mat, p_mat.T, cam_vec, scalars, sf, si,
         cfg.tile, cfg.spp, cfg.max_depth, cfg.budget, cfg.n_passes,
-        cfg.interpret, work_hint=work_hint, with_work=with_work,
+        cfg.interpret, work_perm=work_perm, with_work=with_work,
     )
     if with_work:
         rad, work = out

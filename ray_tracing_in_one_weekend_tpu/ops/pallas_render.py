@@ -864,7 +864,7 @@ def _compact(sf, si, tile, spp):
     return permute(sf), permute(si), inv_perm
 
 
-def _multipass(p_mat, pt_mat, cam_vec, scalars, sf, si, tile, spp, max_depth, budget, n_passes, interpret, work_hint=None, with_work=False):
+def _multipass(p_mat, pt_mat, cam_vec, scalars, sf, si, tile, spp, max_depth, budget, n_passes, interpret, work_hint=None, with_work=False, work_perm=None):
     """Budgeted kernel passes with tail compaction between them.
 
     Why: one run-to-completion pass makes every tile pay its MAX lane
@@ -892,10 +892,25 @@ def _multipass(p_mat, pt_mat, cam_vec, scalars, sf, si, tile, spp, max_depth, bu
     renders of the same scene — training loops, progressive refinement,
     seed ensembles — where the previous frame's measured work row is a
     near-perfect predictor (bounce depth is a property of the pixel's
-    scene content, not of the sample noise)."""
+    scene content, not of the sample noise).
+
+    `work_perm` = (perm, inv_perm) [padded] i32: a PRECOMPUTED lane
+    permutation (and its inverse) applied instead of the in-graph
+    two-level hint sort — the fully-sorted-by-cost order, computed once
+    per scene outside this graph (a global ~1M-lane argsort costs
+    ~27 ms on v5e, far too much per render but nothing once). Measured
+    v5e, bench preset: 96.3% occupancy / 0.165 s vs the two-level
+    hint's 76% / 0.233 s — the two-level scheme matches the full sort's
+    DENSITY (its job for in-render compaction) but not its tile
+    COST-HOMOGENEITY, which is what the warm single pass is bound by.
+    Mutually exclusive with `work_hint`."""
     final_budget = spp * max_depth
     inv_total = None
-    if work_hint is not None:
+    if work_perm is not None:
+        perm, inv_total = work_perm
+        sf = sf[:, perm]
+        si = si[:, perm]
+    elif work_hint is not None:
         # Seed the compaction's remaining-work estimate with the hint
         # (at started=0 its estimate reduces to work * spp, monotone in
         # the hint), permute, then clear the work row so in-render
@@ -942,12 +957,12 @@ def _multipass(p_mat, pt_mat, cam_vec, scalars, sf, si, tile, spp, max_depth, bu
     jax.jit,
     static_argnames=(
         "tile", "spp", "max_depth", "budget", "n_passes", "interpret",
-        "n_pixels", "padded", "use_hint", "with_work",
+        "n_pixels", "padded", "use_perm", "with_work",
     ),
 )
 def _render_single_jit(
-    scene, cam_vec, base, work_hint, *, tile, spp, max_depth, budget,
-    n_passes, interpret, n_pixels, padded, use_hint=False,
+    scene, cam_vec, base, perm_inv, *, tile, spp, max_depth, budget,
+    n_passes, interpret, n_pixels, padded, use_perm=False,
     with_work=False,
 ):
     """Whole single-chip render pipeline as ONE jitted program.
@@ -957,9 +972,10 @@ def _render_single_jit(
     reuse the compiled program. Scene packing and lane-state init live
     inside the jit too: no per-call eager dispatches (each eager op is
     a round-trip on the tunneled TPU platform) and no ~100MB of eager
-    zero-buffer creation per call. `work_hint` is a [padded] f32 cost
-    map (warm-start scheduling, see _multipass) consumed only when
-    `use_hint`; pass a dummy otherwise.
+    zero-buffer creation per call. `perm_inv` is a [2, padded] i32
+    (permutation, inverse) pair (warm-start scheduling, see
+    _multipass's `work_perm`) consumed only when `use_perm`; pass a
+    dummy otherwise.
     """
     p_mat = pack_scene(scene)
     scalars = jnp.stack(
@@ -969,9 +985,27 @@ def _render_single_jit(
     return _multipass(
         p_mat, p_mat.T, cam_vec, scalars, sf, si,
         tile, spp, max_depth, budget, n_passes, interpret,
-        work_hint=work_hint if use_hint else None,
+        work_perm=(perm_inv[0], perm_inv[1]) if use_perm else None,
         with_work=with_work,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("n_slabs",))
+def _perm_from_hint(hint, n_slabs=1):
+    """Cost map [total] -> stacked (perm, inverse) [2, n_slabs, slab]
+    i32 with SLAB-LOCAL indices: each slab's lanes fully sorted by
+    descending cost (lanes never cross pixel shards; n_slabs=1 is the
+    single-chip global sort). Dead/pad lanes (cost 0) sink to the tail
+    tiles, which then exit their while loops immediately. Costs one
+    ~1M-lane argsort (~27 ms on v5e) — run ONCE per scene at
+    cache-fill time, never per render."""
+    total = hint.shape[0]
+    slab = total // n_slabs
+    local = jnp.argsort(
+        -hint.reshape(n_slabs, slab), axis=1, stable=True
+    ).astype(jnp.int32)
+    inv_local = jnp.argsort(local, axis=1).astype(jnp.int32)
+    return jnp.stack([local, inv_local])  # [2, n_slabs, slab]
 
 # Default budgeted passes before the unbudgeted finisher. 1 disables
 # compaction (single run-to-completion pass, the pre-compaction
@@ -999,25 +1033,28 @@ def _check_tile(tile: int) -> None:
 
 
 # ---------------------------------------------------------------------------
-# Auto warm-start: per-(scene, camera) cost-map cache.
+# Auto warm-start: per-(scene, camera) schedule cache.
 #
-# Maps a cheap identity key -> the previous render's per-lane cost map
-# ([padded_lanes] f32, flat global-pixel order, zero-padded). On a hit
-# the next render of the same scene/camera pre-sorts its lanes into
-# cost-homogeneous tiles and runs ONE uncompacted pass at near-ideal
-# occupancy (measured v5e, bench preset: 0.236s vs the cold 0.305s) —
-# the steady-state rate of every repeated-render workload: bench timing
-# loops, progressive/checkpoint accumulation, seed ensembles, training
-# steps. The CUDA analogue re-runs its hot loop with no scheduling at
-# all (reference: src/gpu/camera.h:169-195); warm-start is what makes
-# the budgeted multipass scheduler converge to that shape.
+# Maps a cheap identity key -> the warm-start lane PERMUTATION (and its
+# inverse) derived from the previous render's per-lane cost map: lanes
+# fully sorted by descending measured cost (_perm_from_hint — the
+# ~1M-lane argsort costs ~27 ms ONCE per scene at cache-fill time). On
+# a hit the next render of the same scene/camera applies the
+# permutation and runs ONE uncompacted pass at near-ideal occupancy
+# (measured v5e, bench preset: 96.3% occupancy, 0.165s vs the cold
+# 3-pass 0.306s) — the steady-state rate of every repeated-render
+# workload: bench timing loops, progressive/checkpoint accumulation,
+# seed ensembles, training steps. The CUDA analogue re-runs its hot
+# loop with no scheduling at all (reference: src/gpu/camera.h:169-195);
+# warm-start is what makes the budgeted multipass scheduler converge
+# past that shape.
 #
-# Safety: the hint is a pure lane PERMUTATION — _multipass produces a
-# bit-identical image for any hint value (tests/test_pallas.py pins
-# this) — so a STALE or WRONG cache hit can only cost throughput, never
-# correctness. That is why identity (array object ids + camera bytes),
-# not array content, is a sufficient key; the padded lane count in the
-# key rules out shape mismatches.
+# Safety: the schedule is a pure lane PERMUTATION — _multipass produces
+# a bit-identical image for any permutation/hint (tests/test_pallas.py
+# pins this) — so a STALE or WRONG cache hit can only cost throughput,
+# never correctness. That is why identity (array object ids + camera
+# bytes), not array content, is a sufficient key; the padded lane count
+# in the key rules out shape mismatches.
 # ---------------------------------------------------------------------------
 _WORK_CACHE: OrderedDict = OrderedDict()
 _WORK_CACHE_MAX = 8
@@ -1067,17 +1104,18 @@ def render_pallas(
     rendering [0, k) then [k, k+n) and averaging equals one (k+n)-sample
     render (the progressive-checkpoint contract, utils/checkpoint.py).
 
-    Warm-start scheduling (the default): every render records its
-    per-pixel cost map in a module-level cache keyed on scene/camera
-    identity; the NEXT render of the same scene/camera (any seed/sample
-    window) pre-sorts its lanes by that map and runs ONE uncompacted
-    pass at near-ideal occupancy instead of the cold 3-pass compaction
-    schedule — measured v5e, bench preset: 0.236s warm vs 0.305s cold,
-    bit-identical image (the hint is a pure lane permutation; see
-    _WORK_CACHE). `warm=False` disables the cache (always cold);
+    Warm-start scheduling (the default): the first render of a
+    scene/camera records its per-pixel cost map and caches the
+    fully-cost-sorted lane permutation derived from it (one ~27 ms
+    argsort, once); every later render (any seed/sample window) applies
+    that permutation and runs ONE uncompacted pass at near-ideal
+    occupancy instead of the cold 3-pass compaction schedule — measured
+    v5e, bench preset: 0.165s / 96.3% occupancy warm vs 0.306s / 63%
+    cold, bit-identical image (the schedule is a pure lane permutation;
+    see _WORK_CACHE). `warm=False` disables the cache (always cold);
     passing `work_hint` explicitly (a prior `return_work=True` map,
-    [H, W] or flat) overrides it. With any hint, `n_passes` defaults to
-    1; without one, DEFAULT_PASSES.
+    [H, W] or flat) overrides it and pays its sort per call. With any
+    hint, `n_passes` defaults to 1; without one, DEFAULT_PASSES.
 
     `t_min` is the shadow-acne epsilon (reference: src/cpu/main.cc:19);
     runtime data, exposed for the negative-example test.
@@ -1093,19 +1131,20 @@ def render_pallas(
     cam_vec = jnp.asarray(cam_np)
     base = jnp.asarray([seed, sample_offset], jnp.int32)
 
-    hint = None
+    perm_inv = None  # [2, padded] i32 (lane permutation, inverse)
     cache_key = None
     if work_hint is not None:
         hint = jnp.zeros(padded, jnp.float32).at[:n_pixels].set(
             jnp.asarray(work_hint, jnp.float32).reshape(-1)[:n_pixels]
         )
+        perm_inv = _perm_from_hint(hint).reshape(2, padded)
     elif warm:
         cache_key = _warm_cache_key(scene, cam_np.tobytes(), padded, tile)
         if cache_key is not None:
-            hint = _WORK_CACHE.get(cache_key)
-    use_hint = hint is not None
+            perm_inv = _WORK_CACHE.get(cache_key)
+    use_perm = perm_inv is not None
     if n_passes is None:
-        n_passes = 1 if use_hint else DEFAULT_PASSES
+        n_passes = 1 if use_perm else DEFAULT_PASSES
     budget = _default_budget(spp) if budget is None else budget
     if isinstance(budget, (tuple, list)):
         budget = tuple(budget)  # lists are unhashable as jit statics
@@ -1114,19 +1153,21 @@ def render_pallas(
                 f"budget schedule has {len(budget)} entries but "
                 f"n_passes={n_passes} needs {n_passes - 1} budgeted passes"
             )
-    want_work = return_work or cache_key is not None
+    fill_cache = cache_key is not None and not use_perm
+    want_work = return_work or fill_cache
 
     out = _render_single_jit(
         scene, cam_vec, base,
-        hint if use_hint else jnp.zeros((1,), jnp.float32),
+        perm_inv if use_perm else jnp.zeros((2, 1), jnp.int32),
         tile=tile, spp=spp, max_depth=max_depth, budget=budget,
         n_passes=n_passes, interpret=interpret,
         n_pixels=n_pixels, padded=padded,
-        use_hint=use_hint, with_work=want_work,
+        use_perm=use_perm, with_work=want_work,
     )
     rad, work = out if want_work else (out, None)
-    if cache_key is not None:
-        _warm_cache_put(cache_key, work)  # [padded], ready to re-feed
+    if fill_cache:
+        # One-time per scene: the full cost sort (see _perm_from_hint).
+        _warm_cache_put(cache_key, _perm_from_hint(work).reshape(2, padded))
     img = rad[:, :n_pixels]  # [3, n_pixels]
     img = jnp.transpose(img).reshape(h, w, 3)
     if return_work:
@@ -1138,13 +1179,13 @@ def render_pallas(
     jax.jit,
     static_argnames=(
         "mesh", "tile", "spp_local", "max_depth", "budget", "n_passes",
-        "interpret", "n_pixels", "shard_pixels", "use_hint", "with_work",
+        "interpret", "n_pixels", "shard_pixels", "use_perm", "with_work",
     ),
 )
 def _render_dist_jit(
-    scene, cam_vec, base, hint, *, mesh, tile, spp_local, max_depth,
+    scene, cam_vec, base, perm_inv, *, mesh, tile, spp_local, max_depth,
     budget, n_passes, interpret, n_pixels, shard_pixels,
-    use_hint=False, with_work=False,
+    use_perm=False, with_work=False,
 ):
     """Mesh-sharded render as ONE jitted program, cached on
     (mesh, statics) at module level — a second call with a new seed or
@@ -1153,15 +1194,15 @@ def _render_dist_jit(
     per call of pure retrace overhead on a 1-device mesh; see
     tests/test_pallas_dist.py::test_distributed_second_call_no_retrace).
 
-    `base` = i32 [2] (seed, sample_offset), traced. `hint` is the
-    per-pixel cost map in slab layout [n_pix_shards, shard_pixels]
-    (= flat global-pixel order, zero-padded — slabs are contiguous
-    pixel ranges), sharded over the pixel axis and replicated over the
-    sample axis; each shard pre-sorts its own slab (compaction is
-    shard-local, so warm-start needs no collectives). With `with_work`,
-    also returns the measured cost map [n_pix_shards * shard_pixels]
-    (pmean over sample shards — their schedules may differ, the mean
-    predicts all of them).
+    `base` = i32 [2] (seed, sample_offset), traced. `perm_inv` is the
+    precomputed warm-start lane permutation + inverse in SLAB-LOCAL
+    indices, [2, n_pix_shards, shard_pixels] (slabs are contiguous
+    global pixel ranges), sharded over the pixel axis and replicated
+    over the sample axis; each shard applies its own slab's permutation
+    (scheduling is shard-local, so warm-start needs no collectives).
+    With `with_work`, also returns the measured cost map
+    [n_pix_shards * shard_pixels] (pmean over sample shards — their
+    schedules may differ, the mean predicts all of them).
     """
     from jax.sharding import PartitionSpec as P
 
@@ -1176,7 +1217,7 @@ def _render_dist_jit(
     # Per-pixel-shard slab offsets, replicated along the sample axis.
     offsets = (jnp.arange(n_pix_shards, dtype=jnp.int32) * shard_pixels)[:, None]
 
-    def shard_fn(p_mat, pt_mat, cam_vec, base, offset, hint_slab):
+    def shard_fn(p_mat, pt_mat, cam_vec, base, offset, perm_slab):
         s_idx = jax.lax.axis_index(SAMPLE_AXIS).astype(jnp.int32)
         scalars = jnp.stack(
             [
@@ -1190,7 +1231,9 @@ def _render_dist_jit(
         out = _multipass(
             p_mat, pt_mat, cam_vec, scalars, sf, si,
             tile, spp_local, max_depth, budget, n_passes, interpret,
-            work_hint=hint_slab.reshape(-1) if use_hint else None,
+            work_perm=(
+                (perm_slab[0, 0], perm_slab[1, 0]) if use_perm else None
+            ),
             with_work=with_work,
         )  # [3, shard_pixels], local-pixel order
         if with_work:
@@ -1209,10 +1252,10 @@ def _render_dist_jit(
         shard_fn,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(PIXEL_AXIS, None),
-                  P(PIXEL_AXIS, None)),
+                  P(None, PIXEL_AXIS, None)),
         out_specs=out_specs,
         check_vma=False,
-    )(p_mat, pt_mat, cam_vec, base, offsets, hint)  # [3, padded]
+    )(p_mat, pt_mat, cam_vec, base, offsets, perm_inv)  # [3, padded]
 
 
 def render_pallas_distributed(
@@ -1281,37 +1324,40 @@ def render_pallas_distributed(
     cam_vec = jnp.asarray(cam_np)
     base = jnp.asarray([seed, sample_offset], jnp.int32)
 
-    hint = None
+    perm_inv = None  # [2, n_pix_shards, shard_pixels] slab-local
     cache_key = None
     if work_hint is not None:
         hint = jnp.zeros(total, jnp.float32).at[:n_pixels].set(
             jnp.asarray(work_hint, jnp.float32).reshape(-1)[:n_pixels]
         )
+        perm_inv = _perm_from_hint(hint, n_slabs=n_pix_shards)
     elif warm:
         cache_key = _warm_cache_key(
             scene, cam_np.tobytes(), total, tile,
             extra=(tuple(mesh.shape.items()),),
         )
         if cache_key is not None:
-            hint = _WORK_CACHE.get(cache_key)
-    use_hint = hint is not None
+            perm_inv = _WORK_CACHE.get(cache_key)
+    use_perm = perm_inv is not None
     if n_passes is None:
-        n_passes = 1 if use_hint else DEFAULT_PASSES
+        n_passes = 1 if use_perm else DEFAULT_PASSES
     budget = _default_budget(spp_local) if budget is None else budget
-    want_work = return_work or cache_key is not None
+    fill_cache = cache_key is not None and not use_perm
+    want_work = return_work or fill_cache
 
     out = _render_dist_jit(
         scene, cam_vec, base,
-        hint.reshape(n_pix_shards, shard_pixels) if use_hint
-        else jnp.zeros((n_pix_shards, 1), jnp.float32),
+        perm_inv if use_perm else jnp.zeros((2, n_pix_shards, 1), jnp.int32),
         mesh=mesh, tile=tile, spp_local=spp_local, max_depth=max_depth,
         budget=budget, n_passes=n_passes, interpret=interpret,
         n_pixels=n_pixels, shard_pixels=shard_pixels,
-        use_hint=use_hint, with_work=want_work,
+        use_perm=use_perm, with_work=want_work,
     )
     rad, work = out if want_work else (out, None)
-    if cache_key is not None:
-        _warm_cache_put(cache_key, work)  # [total], flat pixel order
+    if fill_cache:
+        _warm_cache_put(
+            cache_key, _perm_from_hint(work, n_slabs=n_pix_shards)
+        )
     img = rad[:, :n_pixels]
     img = jnp.transpose(img).reshape(h, w, 3)
     if return_work:

