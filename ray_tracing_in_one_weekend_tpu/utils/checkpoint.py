@@ -34,11 +34,12 @@ class RenderState:
     """Accumulated render progress (a checkpointable pytree).
 
     `work` is the latest per-pixel cost map from the Pallas kernel
-    (None until the first pallas batch): batches re-render the same
-    pixels, so feeding it back as the kernel's warm-start hint lets
-    every batch after the first run pre-balanced single-pass schedules
-    (ops/pallas_render.py `work_hint` — bit-identical image, ~25-30%
-    faster on the bench scene)."""
+    (None until the first pallas batch). In-process warm-start runs
+    through the renderer's auto schedule cache (ops/pallas_render.py
+    `_WORK_CACHE` — batches 2+ run single-pass near-ideal-occupancy
+    schedules, bit-identical image); the map here is checkpointed for
+    diagnostics and remains usable as an explicit `work_hint` after a
+    resume."""
 
     accum: jnp.ndarray  # [H, W, 3] sum of per-sample radiance
     spp_done: jnp.ndarray  # [] int32 samples accumulated so far
@@ -56,6 +57,12 @@ def new_state(cam: Camera) -> RenderState:
         accum=jnp.zeros((cam.image_height, cam.image_width, 3), jnp.float32),
         spp_done=jnp.asarray(0, jnp.int32),
     )
+
+
+# One fused program for the fold: eager `accum + colors * n` dispatches
+# two separate elementwise programs per batch, each a round-trip on a
+# tunneled TPU platform (~0.3-1 s of pure latency per 4K batch).
+_fold = jax.jit(lambda acc, colors, n: acc + colors * n)
 
 
 def accumulate(
@@ -93,26 +100,30 @@ def accumulate(
             raise TypeError(
                 "backend='pallas' takes an integer seed, not a PRNG key"
             )
+        # Warm-start rides the renderer's AUTO schedule cache (batch 1
+        # cold-fills it, batches 2+ apply the cached permutation) — NOT
+        # the carried state.work map: feeding the map back explicitly
+        # re-sorts it per batch and pays ~0.5-1 s of eager hint-prep
+        # dispatches over a tunneled TPU (measured r5: 4.8 s vs ~3 s
+        # per 100-spp gpu-preset batch). state.work is still carried in
+        # the checkpoint for resume diagnostics; a RESUMED process's
+        # first batch simply runs cold once and re-fills the cache.
         kw = dict(
             seed=base_key,
             spp=spp_batch,
             sample_offset=done,
             tile=DEFAULT_TILE if tile is None else tile,
             interpret=interpret,
-            work_hint=state.work,  # [H, W] map; valid on every mesh
             return_work=True,
         )
         if mesh is not None:
-            # Sharded warm-start: each shard pre-sorts its own slab
-            # slice of the carried map (ops/pallas_render.py
-            # `_render_dist_jit` — compaction is shard-local).
             colors, work = render_pallas_distributed(
                 scene, cam, mesh=mesh, **kw
             )
         else:
             colors, work = render_pallas(scene, cam, **kw)
         return RenderState(
-            accum=state.accum + colors * spp_batch,
+            accum=_fold(state.accum, colors, float(spp_batch)),
             spp_done=state.spp_done + spp_batch,
             work=work,
         )
@@ -142,7 +153,7 @@ def accumulate(
             sample_offset=state.spp_done,
         ).reshape(h, w, 3)
     return RenderState(
-        accum=state.accum + colors * spp_batch,
+        accum=_fold(state.accum, colors, float(spp_batch)),
         spp_done=state.spp_done + spp_batch,
         work=state.work,
     )
