@@ -632,31 +632,20 @@ def _primal_flat(cfg: _DiffCfg, p_mat, cam_vec, offsets, hint,
 
 def _cost_perm(cost, tile):
     """Lane permutation that packs similar-cost lanes into the same
-    tiles: per-tile descending cost sort, then a global stable sort of
-    128-lane blocks by total cost — the two-level scheme of
-    ops/pallas_render._compact, as a standalone function over a cost
-    vector. Returns the flat permutation `perm` (new[i] = old[perm[i]]).
-    Zero-cost (dead/pad) lanes sink to the tail tiles, which then exit
-    their while loops immediately."""
-    padded = cost.shape[0]
-    n_tiles = padded // tile
-    BLOCK = 128
-    n_blocks = padded // BLOCK
-    lane_order = jnp.argsort(
-        (-cost).reshape(n_tiles, tile), axis=1, stable=True
-    ).astype(jnp.int32)
-    cost_sorted = jnp.take_along_axis(cost.reshape(n_tiles, tile), lane_order, axis=1)
-    block_cost = jnp.sum(cost_sorted.reshape(n_blocks, BLOCK), axis=1)
-    block_order = jnp.argsort(-block_cost, stable=True).astype(jnp.int32)
-    lane_flat = (
-        jnp.arange(n_tiles, dtype=jnp.int32)[:, None] * tile + lane_order
-    ).reshape(-1)
-    block_flat = (
-        block_order[:, None] * BLOCK
-        + jnp.arange(BLOCK, dtype=jnp.int32)[None, :]
-    ).reshape(-1)
-    # perm[i] = L[B[i]] (lane sort applied first, block gather second).
-    return lane_flat[block_flat]
+    tiles: a FULL global sort by descending cost. Rounds 3-4 used the
+    two-level scheme of ops/pallas_render._compact (per-tile sort +
+    block reorder) to dodge the ~1M-lane argsort's ~27 ms; round 5
+    measured that the full sort's tile cost-HOMOGENEITY (not just
+    density) is worth far more than the argsort costs — the forward
+    warm schedule went 76% -> 96.3% occupancy — and the backward
+    replay's per-iteration cost is several times the forward's, so the
+    once-per-step argsort amortizes even better here. Returns the flat
+    permutation `perm` (new[i] = old[perm[i]]). Zero-cost (dead/pad)
+    lanes sink to the tail tiles, which then exit their while loops
+    immediately. `tile` is unused by the full sort but kept so callers
+    document the target layout."""
+    del tile
+    return jnp.argsort(-cost, stable=True).astype(jnp.int32)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
