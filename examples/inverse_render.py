@@ -91,10 +91,15 @@ def main() -> int:
 
     before_err = float(jnp.abs(params["albedo"][1] - true_albedo[1]).sum())
 
+    work = None  # warm-start carry: previous step's cost map
     for step in range(args.steps):
         if use_pallas:
-            loss, grads = pallas_grad.render_grads_pallas(
-                params, scene, cam, target, seed=0, mesh=mesh, **pallas_kw
+            # The warm carry (ops/pallas_grad.py): each step's primal
+            # pre-sorts its lanes by the PREVIOUS step's measured cost
+            # map — pure scheduling, identical loss/gradients.
+            (loss, work), grads = pallas_grad.render_grads_pallas(
+                params, scene, cam, target, seed=0, mesh=mesh,
+                work_hint=work, return_work=True, **pallas_kw
             )
         else:
             loss, grads = dist.render_grads(

@@ -1139,7 +1139,14 @@ def render_pallas(
         )
         perm_inv = _perm_from_hint(hint).reshape(2, padded)
     elif warm:
-        cache_key = _warm_cache_key(scene, cam_np.tobytes(), padded, tile)
+        # spp is part of the key: a cost map measured at low spp is a
+        # NOISY per-pixel estimate (~32% relative at 10 spp), and a
+        # 100-spp render scheduled by a 10-spp-map permutation measured
+        # 2x slower than one scheduled by its own map (tile max-of-sums
+        # amplifies ordering errors as queues lengthen).
+        cache_key = _warm_cache_key(
+            scene, cam_np.tobytes(), padded, tile, extra=(spp,)
+        )
         if cache_key is not None:
             perm_inv = _WORK_CACHE.get(cache_key)
     use_perm = perm_inv is not None
@@ -1334,7 +1341,7 @@ def render_pallas_distributed(
     elif warm:
         cache_key = _warm_cache_key(
             scene, cam_np.tobytes(), total, tile,
-            extra=(tuple(mesh.shape.items()),),
+            extra=(spp, tuple(mesh.shape.items())),
         )
         if cache_key is not None:
             perm_inv = _WORK_CACHE.get(cache_key)

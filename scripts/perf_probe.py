@@ -32,8 +32,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _vpu_peak_ops(tile: int) -> float:
     """Measured element-ops/s of a chained-FMA kernel on [128, tile]
-    blocks — the same shape as the render's sweep slabs. This is the
-    achievable VPU peak for this access pattern, not a spec number."""
+    blocks — the same shape as the render's sweep slabs.
+
+    CAVEAT (round 5): the single serially-dependent accumulator chain
+    measures FMA LATENCY, not throughput (~0.3-0.5 "Tops/s" on v5e vs
+    the independent-accumulator variant in kernel_parts_probe.py), so
+    this is a LOWER bound, unusable as a roofline peak. bench.py's
+    published ceiling therefore uses the real kernel's own measured
+    per-tile-iteration cost instead (BASELINE.md round-5 roofline
+    attribution)."""
     CHAIN = 512
     REPS = 64
 
