@@ -76,6 +76,7 @@ def accumulate(
     mesh=None,
     tile: int | None = None,
     interpret: bool = False,
+    warm: bool = True,
 ) -> RenderState:
     """Render the next `spp_batch` samples and fold them into `state`.
 
@@ -115,6 +116,7 @@ def accumulate(
             tile=DEFAULT_TILE if tile is None else tile,
             interpret=interpret,
             return_work=True,
+            warm=warm,
         )
         if mesh is not None:
             colors, work = render_pallas_distributed(

@@ -95,6 +95,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-progress", action="store_true",
                    help="render monolithically even at high spp (suppresses "
                         "the per-batch progress lines)")
+    p.add_argument("--cold", action="store_true",
+                   help="disable warm-start scheduling (pallas backend): "
+                        "every render runs the cold multi-pass compaction "
+                        "schedule instead of reusing the cached cost-sorted "
+                        "lane permutation (bit-identical image either way)")
     return p
 
 
@@ -179,12 +184,12 @@ def main(argv=None) -> int:
                 return pallas_render.render_pallas_distributed(
                     scene, cam, seed=config.seed, mesh=mesh,
                     tile=args.tile or pallas_render.DEFAULT_TILE,
-                    interpret=interpret,
+                    interpret=interpret, warm=not args.cold,
                 )
             return pallas_render.render_pallas(
                 scene, cam, seed=config.seed,
                 tile=args.tile or pallas_render.DEFAULT_TILE,
-                interpret=interpret,
+                interpret=interpret, warm=not args.cold,
             )
         if config.mesh_shape:
             from ray_tracing_in_one_weekend_tpu.parallel import dist
@@ -344,13 +349,14 @@ def _run_checkpointed(args, config, scene, cam, backend, persist=True) -> int:
                 max_retries=args.retries, log=_log,
                 chunk_size=config.chunk_pixels,
                 backend=backend, mesh=mesh, tile=args.tile,
-                interpret=interpret,
+                interpret=interpret, warm=not args.cold,
             )
         else:
             state = ckpt.accumulate(
                 state, scene, cam, config.seed, n,
                 chunk_size=config.chunk_pixels,
                 backend=backend, mesh=mesh, tile=args.tile, interpret=interpret,
+                warm=not args.cold,
             )
         float(jnp.sum(state.accum))  # completion barrier
         if persist:

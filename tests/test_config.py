@@ -78,3 +78,21 @@ def test_cli_resumed_complete_checkpoint_writes_output(tmp_path, capsys):
     assert cli.main(args) == 0
     assert open(out, "rb").read() == first
     assert "already complete" in capsys.readouterr().err
+
+
+def test_cli_cold_flag_renders_identically(capsys):
+    """`--cold` disables warm-start scheduling; the image must be
+    byte-identical to the default warm render (the bit-identity
+    contract of ops/pallas_render's schedule cache, via the CLI)."""
+    from ray_tracing_in_one_weekend_tpu.utils import cli
+
+    base = ["--scene", "three", "--width", "32", "--aspect", "2.0",
+            "--spp", "2", "--max-depth", "4", "--backend", "pallas",
+            "--tile", "128"]
+    assert cli.main(base + ["--cold"]) == 0
+    cold_out = capsys.readouterr().out
+    assert cli.main(base) == 0  # warm fill
+    assert cli.main(base) == 0  # warm hit
+    warm_out = capsys.readouterr().out
+    # two renders captured; both must equal the cold PPM
+    assert warm_out == cold_out + cold_out

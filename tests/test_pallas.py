@@ -508,3 +508,42 @@ def test_shadow_acne_negative_example():
     assert acne.mean() < good.mean() - 0.01, (
         "shadow acne must darken the image (absorbed self-hits)"
     )
+
+
+def test_perm_from_hint_is_slab_local_permutation():
+    """The warm-schedule sort: a valid permutation + exact inverse,
+    computed slab-locally (distributed lanes never cross shards), with
+    zero-cost lanes sunk to each slab's tail."""
+    import jax
+
+    from ray_tracing_in_one_weekend_tpu.ops.pallas_render import (
+        _perm_from_hint,
+    )
+
+    hint = jax.random.uniform(jax.random.key(0), (512,)) * 10.0
+    hint = hint.at[100:140].set(0.0)  # dead lanes
+    for n_slabs in (1, 4):
+        out = np.asarray(_perm_from_hint(hint, n_slabs=n_slabs))
+        assert out.shape == (2, n_slabs, 512 // n_slabs)
+        h = np.asarray(hint).reshape(n_slabs, -1)
+        for s in range(n_slabs):
+            perm, inv = out[0, s], out[1, s]
+            n = perm.shape[0]
+            assert sorted(perm) == list(range(n)), "not a permutation"
+            assert np.array_equal(perm[inv], np.arange(n)), "inverse wrong"
+            sorted_cost = h[s][perm]
+            assert np.all(np.diff(sorted_cost) <= 1e-6), "not descending"
+
+
+def test_warm_cache_eviction_bound():
+    """The schedule cache is bounded: rendering more distinct
+    (scene, camera, spp) combinations than _WORK_CACHE_MAX evicts the
+    oldest entries instead of growing without bound."""
+    from ray_tracing_in_one_weekend_tpu.ops import pallas_render as pr
+
+    sc = scene_lib.single_sphere_scene(pad_to=128)
+    cam = _cam(width=16, spp=2)
+    pr._WORK_CACHE.clear()
+    for spp in range(1, pr._WORK_CACHE_MAX + 4):
+        render_pallas(sc, cam, seed=0, tile=128, spp=spp, interpret=True)
+    assert len(pr._WORK_CACHE) == pr._WORK_CACHE_MAX
