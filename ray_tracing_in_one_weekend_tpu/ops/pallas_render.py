@@ -1049,6 +1049,22 @@ def _check_tile(tile: int) -> None:
 # warm-start is what makes the budgeted multipass scheduler converge
 # past that shape.
 #
+# Each entry stores (perm_inv, fill_seed, fill_sample_offset), and the
+# permutation is only APPLIED when the incoming render's (seed,
+# sample_offset) match the fill's — i.e. it re-renders the exact noise
+# realization the cost map measured. Measured v5e (bench scene): a
+# MATCHED re-render under the permutation runs 57.8 Mrays/s at 10 spp /
+# 76.6 at 100 spp, but a MISMATCHED one (different seed or sample
+# window) pays realized-variance mispredictions that make the single
+# warm pass SLOWER than the cold 3-pass compaction schedule at every
+# spp probed (10 spp: 18 vs 31.5; 32: 30 vs 46; 50: 36 vs 50; 100: 44
+# vs 55 — and a perm+budgeted-pass hybrid only ties cold at 100 spp),
+# so mismatches run the cold schedule and REFRESH the fill for their
+# own realization instead. Expected-cost maps don't fix this: spatial
+# smoothing and 3-window-mean maps both measured worse than cold for
+# mismatched renders (the penalty is realization variance, not
+# estimator noise).
+#
 # Safety: the schedule is a pure lane PERMUTATION — _multipass produces
 # a bit-identical image for any permutation/hint (tests/test_pallas.py
 # pins this) — so a STALE or WRONG cache hit can only cost throughput,
@@ -1058,6 +1074,18 @@ def _check_tile(tile: int) -> None:
 # ---------------------------------------------------------------------------
 _WORK_CACHE: OrderedDict = OrderedDict()
 _WORK_CACHE_MAX = 8
+
+
+def _warm_cache_get(key, seed: int, sample_offset: int):
+    """The cached permutation, or None unless the fill's (seed,
+    sample_offset) match this render's (see the policy note above)."""
+    entry = _WORK_CACHE.get(key)
+    if entry is None:
+        return None
+    perm_inv, fill_seed, fill_offset = entry
+    if fill_seed != seed or fill_offset != sample_offset:
+        return None
+    return perm_inv
 
 
 def _warm_cache_key(scene, cam_bytes: bytes, padded: int, tile: int, extra=()):
@@ -1072,8 +1100,8 @@ def _warm_cache_key(scene, cam_bytes: bytes, padded: int, tile: int, extra=()):
     )
 
 
-def _warm_cache_put(key, work) -> None:
-    _WORK_CACHE[key] = work
+def _warm_cache_put(key, perm_inv, seed: int, sample_offset: int) -> None:
+    _WORK_CACHE[key] = (perm_inv, seed, sample_offset)
     _WORK_CACHE.move_to_end(key)
     while len(_WORK_CACHE) > _WORK_CACHE_MAX:
         _WORK_CACHE.popitem(last=False)
@@ -1105,17 +1133,23 @@ def render_pallas(
     render (the progressive-checkpoint contract, utils/checkpoint.py).
 
     Warm-start scheduling (the default): the first render of a
-    scene/camera records its per-pixel cost map and caches the
+    scene/camera/spp records its per-pixel cost map and caches the
     fully-cost-sorted lane permutation derived from it (one ~27 ms
-    argsort, once); every later render (any seed/sample window) applies
-    that permutation and runs ONE uncompacted pass at near-ideal
-    occupancy instead of the cold 3-pass compaction schedule — measured
-    v5e, bench preset: 0.165s / 96.3% occupancy warm vs 0.306s / 63%
-    cold, bit-identical image (the schedule is a pure lane permutation;
-    see _WORK_CACHE). `warm=False` disables the cache (always cold);
-    passing `work_hint` explicitly (a prior `return_work=True` map,
-    [H, W] or flat) overrides it and pays its sort per call. With any
-    hint, `n_passes` defaults to 1; without one, DEFAULT_PASSES.
+    argsort, once); every later render of the SAME (seed, sample
+    window) — timing loops, re-renders, repeated training evaluations —
+    applies that permutation and runs ONE uncompacted pass at
+    near-ideal occupancy instead of the cold 3-pass compaction
+    schedule: measured v5e, bench preset, 0.166s / 96.3% occupancy warm
+    vs 0.306s / 63% cold at 10 spp (76.6 vs 55.4 Mrays/s at 100 spp),
+    bit-identical image (the schedule is a pure lane permutation; see
+    _WORK_CACHE). Renders of a DIFFERENT seed/sample window run the
+    cold schedule — measured faster than any stale-permutation variant
+    at every spp (the _WORK_CACHE policy note has the numbers) — and
+    refresh the cache for their own realization. `warm=False` disables
+    the cache entirely; passing `work_hint` explicitly (a prior
+    `return_work=True` map, [H, W] or flat) overrides it and pays its
+    sort per call. With any hint, `n_passes` defaults to 1; without
+    one, DEFAULT_PASSES.
 
     `t_min` is the shadow-acne epsilon (reference: src/cpu/main.cc:19);
     runtime data, exposed for the negative-example test.
@@ -1148,7 +1182,7 @@ def render_pallas(
             scene, cam_np.tobytes(), padded, tile, extra=(spp,)
         )
         if cache_key is not None:
-            perm_inv = _WORK_CACHE.get(cache_key)
+            perm_inv = _warm_cache_get(cache_key, seed, sample_offset)
     use_perm = perm_inv is not None
     if n_passes is None:
         n_passes = 1 if use_perm else DEFAULT_PASSES
@@ -1173,8 +1207,12 @@ def render_pallas(
     )
     rad, work = out if want_work else (out, None)
     if fill_cache:
-        # One-time per scene: the full cost sort (see _perm_from_hint).
-        _warm_cache_put(cache_key, _perm_from_hint(work).reshape(2, padded))
+        # Once per (scene, realization): the full cost sort
+        # (see _perm_from_hint).
+        _warm_cache_put(
+            cache_key, _perm_from_hint(work).reshape(2, padded),
+            seed, sample_offset,
+        )
     img = rad[:, :n_pixels]  # [3, n_pixels]
     img = jnp.transpose(img).reshape(h, w, 3)
     if return_work:
@@ -1344,7 +1382,7 @@ def render_pallas_distributed(
             extra=(spp, tuple(mesh.shape.items())),
         )
         if cache_key is not None:
-            perm_inv = _WORK_CACHE.get(cache_key)
+            perm_inv = _warm_cache_get(cache_key, seed, sample_offset)
     use_perm = perm_inv is not None
     if n_passes is None:
         n_passes = 1 if use_perm else DEFAULT_PASSES
@@ -1363,7 +1401,8 @@ def render_pallas_distributed(
     rad, work = out if want_work else (out, None)
     if fill_cache:
         _warm_cache_put(
-            cache_key, _perm_from_hint(work, n_slabs=n_pix_shards)
+            cache_key, _perm_from_hint(work, n_slabs=n_pix_shards),
+            seed, sample_offset,
         )
     img = rad[:, :n_pixels]
     img = jnp.transpose(img).reshape(h, w, 3)

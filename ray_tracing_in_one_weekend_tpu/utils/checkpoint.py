@@ -101,14 +101,16 @@ def accumulate(
             raise TypeError(
                 "backend='pallas' takes an integer seed, not a PRNG key"
             )
-        # Warm-start rides the renderer's AUTO schedule cache (batch 1
-        # cold-fills it, batches 2+ apply the cached permutation) — NOT
-        # the carried state.work map: feeding the map back explicitly
-        # re-sorts it per batch and pays ~0.5-1 s of eager hint-prep
-        # dispatches over a tunneled TPU (measured r5: 4.8 s vs ~3 s
-        # per 100-spp gpu-preset batch). state.work is still carried in
-        # the checkpoint for resume diagnostics; a RESUMED process's
-        # first batch simply runs cold once and re-fills the cache.
+        # Scheduling: each batch renders a FRESH sample window, which
+        # mismatches any cached warm permutation's realization, so the
+        # renderer's cache policy correctly runs every batch on the
+        # cold compaction schedule — measured FASTER than scheduling a
+        # new window by a previous window's cost map at every spp
+        # probed (ops/pallas_render.py _WORK_CACHE policy note), and
+        # free of the ~0.5-1 s/batch of eager hint-prep dispatches the
+        # round-4 explicit-map carry paid on tunneled TPU platforms.
+        # state.work is still carried in the checkpoint for diagnostics
+        # and explicit-hint use after a resume.
         kw = dict(
             seed=base_key,
             spp=spp_batch,

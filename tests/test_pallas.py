@@ -424,13 +424,18 @@ def test_auto_warm_start_bit_identical():
     assert np.array_equal(cold, first)
     assert np.array_equal(cold, second)
 
-    # A different seed reuses the same scheduling cache entry (the cost
-    # map is scene-content, not noise) and still renders ITS exact image.
+    # A different seed MISMATCHES the fill realization: it runs the
+    # cold schedule (measured faster than a stale permutation at every
+    # spp — the _WORK_CACHE policy) and refreshes the entry in place.
     cold5 = np.asarray(render_pallas(sc, cam, seed=5, tile=128,
                                      interpret=True, warm=False))
     warm5 = np.asarray(render_pallas(sc, cam, seed=5, tile=128, interpret=True))
     assert np.array_equal(cold5, warm5)
     assert len(pr._WORK_CACHE) == 1
+    assert pr._WORK_CACHE[next(iter(pr._WORK_CACHE))][1] == 5  # refilled
+    # ...and the refreshed fill serves seed 5's matched re-render.
+    warm5b = np.asarray(render_pallas(sc, cam, seed=5, tile=128, interpret=True))
+    assert np.array_equal(cold5, warm5b)
 
 
 def test_auto_warm_start_distributed_bit_identical():

@@ -70,7 +70,10 @@ def test_distributed_second_call_no_retrace():
     mesh = make_mesh((4, 2))
 
     render_pallas_distributed(sc, cam, seed=0, mesh=mesh, tile=128, interpret=True)
-    render_pallas_distributed(  # warm variant compiles here, once
+    render_pallas_distributed(  # matched re-render: warm variant compiles once
+        sc, cam, seed=0, mesh=mesh, tile=128, interpret=True
+    )
+    render_pallas_distributed(  # mismatched: the cold+fill program again
         sc, cam, seed=1, mesh=mesh, tile=128, interpret=True
     )
     n0 = pr._render_dist_jit._cache_size()
@@ -104,10 +107,11 @@ def test_distributed_second_call_no_retrace():
     )
     assert pg._diff_dist_jit._cache_size() == n0
 
-    # And the single-chip entry: after the warm variant exists, a new
-    # seed reuses the compiled program.
+    # And the single-chip entry: after the cold+fill and warm variants
+    # exist, any further seed/offset reuses a compiled program.
     render_pallas(sc, cam, seed=0, tile=128, interpret=True)
-    render_pallas(sc, cam, seed=1, tile=128, interpret=True)
+    render_pallas(sc, cam, seed=0, tile=128, interpret=True)  # warm variant
+    render_pallas(sc, cam, seed=1, tile=128, interpret=True)  # cold again
     n0 = pr._render_single_jit._cache_size()
     render_pallas(sc, cam, seed=5, tile=128, interpret=True, sample_offset=4)
     assert pr._render_single_jit._cache_size() == n0
