@@ -202,9 +202,66 @@ def refract_trio_scene(pad_to: int = 128) -> Scene:
     )
 
 
+def single_sphere_sky_scene(pad_to: int = 128) -> Scene:
+    """The lone r=0.5 sphere at (0,0,-1) of the earliest ray-tracing
+    milestones (reference: archive/listing10/main.cc:17,
+    archive/listing11/main.cc:21) — no ground sphere yet."""
+    return scene_lib.from_spheres(
+        centers=[[0.0, 0.0, -1.0]],
+        radii=[0.5],
+        mat_types=[LAMBERTIAN],
+        albedos=[[0.5, 0.5, 0.5]],
+        pad_to=pad_to,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Milestone shading modes the final integrator no longer has.
 # ---------------------------------------------------------------------------
+
+
+def first_gradient_image(width: int, height: int) -> jnp.ndarray:
+    """The book's very first output: the u8 RGB gradient written before
+    any ray exists — r = i/(w-1), g = j/(h-1) with j from the TOP
+    (written scanline image_height-1 first), b = 0.25, quantized by
+    int(255.999 * x) (reference: archive/listing1/main.cc:15-23;
+    golden gallery/cpu/image1). Returns the exact u8 image [H, W, 3]."""
+    i = jnp.broadcast_to(jnp.arange(width)[None, :], (height, width))
+    j = jnp.broadcast_to(
+        jnp.arange(height - 1, -1, -1)[:, None], (height, width)
+    )
+    r = (255.999 * i / (width - 1)).astype(jnp.uint8)
+    g = (255.999 * j / (height - 1)).astype(jnp.uint8)
+    b = jnp.full((height, width), int(255.999 * 0.25), jnp.uint8)
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def render_hit_flag(
+    scene: Scene, cam: Camera, base_key: jax.Array, spp: int = 4,
+    flag_color=(1.0, 0.0, 0.0),
+) -> jnp.ndarray:
+    """The first ray-sphere image: solid `flag_color` on ANY hit, sky
+    gradient otherwise — the book's boolean `hit_sphere` shading
+    (reference: archive/listing10/main.cc:7-21; golden
+    gallery/cpu/image3 with the red sphere). Primary rays only.
+    Returns [H, W, 3] linear radiance."""
+    w, h = cam.image_width, cam.image_height
+    pix = jnp.arange(w * h)
+    px, py = pix % w, pix // w
+    pixel_keys = sampling.fold_b(jnp.broadcast_to(base_key, pix.shape), pix)
+    flag = jnp.asarray(flag_color, jnp.float32)
+
+    def sample_body(s, acc):
+        keys = sampling.fold_b(pixel_keys, s)
+        o, d = get_rays(cam, px, py, sampling.fold_b(keys, 0))
+        rec = hit_scene(scene, o, d)
+        sky = sky_color(vm.unit_vector(d))
+        return acc + jnp.where(rec.hit[:, None], flag, sky)
+
+    total = jax.lax.fori_loop(
+        0, spp, sample_body, jnp.zeros((w * h, 3), jnp.float32)
+    )
+    return (total / spp).reshape(h, w, 3)
 
 
 def render_v2_dielectric(

@@ -228,3 +228,64 @@ def test_antialias_closeup_statistics_gallery_image13():
     # this 20x20 edge window has ~2-3 distinct quantized values;
     # measured jittered: 12).
     assert len(np.unique(u8[40:60, 90:110].astype(np.uint8))) >= 6
+
+
+# ---------------------------------------------------------------------------
+# Earliest-gallery fixtures: the pre-material milestones. With these,
+# every reproducible CPU-gallery golden has a live fixture; the
+# remaining gaps are image6 (byte-wise near-duplicate of image5's
+# milestone — same scene/shading, adjacent listing) and images 7/8,
+# whose defining feature is DOUBLE-precision shadow-acne extinction
+# (t_min=0 diffuse, archive/listing33-34: self-hits at t ~ 1e-16
+# recurse the 0.5-attenuation until the image goes dark). In float32
+# the self-hit root rounds to 0 and the strict t > 0 test rejects it,
+# so the degeneration cannot be reproduced faithfully (nearest f32
+# reproductions measured block-MAD 0.07-0.13); the acne PROPERTY is
+# pinned instead by tests/test_pallas.py::test_shadow_acne_negative_example.
+# ---------------------------------------------------------------------------
+
+
+def test_first_gradient_matches_gallery_image1_exactly():
+    """The book's first PPM: reproduced BIT-EXACTLY against the golden
+    (archive/listing1/main.cc:15-23 quantization, at the golden's own
+    1920x1080 resolution)."""
+    Image = pytest.importorskip("PIL.Image")
+    path = os.path.join(_REF_GALLERY, "image1.png")
+    if not os.path.exists(path):
+        pytest.skip("reference tree not available")
+    ref = np.asarray(Image.open(path).convert("RGB"))
+    ours = np.asarray(M.first_gradient_image(ref.shape[1], ref.shape[0]))
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_sky_gradient_matches_gallery_image2():
+    """The first ray image: pure sky lerp through the viewport
+    (archive/listing9/main.cc:7-10; PRE-gamma golden)."""
+    from ray_tracing_in_one_weekend_tpu.models import scene as scene_lib
+
+    sc = scene_lib.single_sphere_scene(pad_to=128)
+    sc = sc.replace(active=np.zeros_like(np.asarray(sc.active)))
+    img = np.asarray(render_image(sc, M.book_camera(192, 8, 4), KEY))
+    mad = np.abs(_blocks(img) - _ref_blocks(2, gamma=False)).mean()
+    assert mad < 0.004, f"sky gradient block MAD {mad:.4f}"
+
+
+def test_red_sphere_matches_gallery_image3():
+    """The first ray-sphere intersection: solid red on hit
+    (archive/listing10/main.cc:16-21; PRE-gamma golden)."""
+    img = np.asarray(
+        M.render_hit_flag(M.single_sphere_sky_scene(), _cam(spp=4), KEY)
+    )
+    mad = np.abs(_blocks(img) - _ref_blocks(3, gamma=False)).mean()
+    assert mad < 0.004, f"red sphere block MAD {mad:.4f}"
+
+
+def test_single_sphere_normals_matches_gallery_image4():
+    """Normals shading on the lone sphere — BEFORE the ground sphere
+    (archive/listing11/main.cc:20-25; PRE-gamma golden image4; the
+    with-ground variant is image5, covered above)."""
+    img = np.asarray(
+        M.render_normals(M.single_sphere_sky_scene(), _cam(), KEY, spp=4)
+    )
+    mad = np.abs(_blocks(img) - _ref_blocks(4, gamma=False)).mean()
+    assert mad < 0.004, f"single-sphere normals block MAD {mad:.4f}"
