@@ -80,18 +80,28 @@ def main() -> None:
     t0 = time.perf_counter()
     state = ckpt.new_state(cam)
     batch = 100
+    batch_times = []
     while int(state.spp_done) < spp:
         b = min(batch, spp - int(state.spp_done))
+        tb = time.perf_counter()
         state = ckpt.accumulate(state, scene, cam, 0, b,
                                 backend="pallas", interpret=interpret)
         jax.block_until_ready(state.accum)
+        batch_times.append(time.perf_counter() - tb)
         print(f"gallery[pallas]: samples {int(state.spp_done)}/{spp} "
-              f"({time.perf_counter() - t0:.0f}s)", file=sys.stderr)
+              f"(+{b} in {batch_times[-1]:.2f}s, "
+              f"{time.perf_counter() - t0:.0f}s total)", file=sys.stderr)
     u8 = np.asarray(to_uint8(state.image))
     t = time.perf_counter() - t0
-    mrays = cam.image_width * cam.image_height * spp / t / 1e6
-    print(f"gallery[pallas]: {t:.1f}s ({mrays:.1f} Mrays/s incl compile)",
-          file=sys.stderr)
+    mrays_incl = cam.image_width * cam.image_height * spp / t / 1e6
+    # Steady-state rate, same protocol as scripts/render_artifact.py:
+    # skip the compile batch (1) and the warm-variant compile batch (2).
+    skip = 2 if len(batch_times) > 2 else (1 if len(batch_times) > 1 else 0)
+    steady_t = sum(batch_times[skip:])
+    steady_rays = cam.image_width * cam.image_height * (spp - skip * batch)
+    mrays = (steady_rays / steady_t / 1e6) if steady_t > 0 else mrays_incl
+    print(f"gallery[pallas]: {t:.1f}s ({mrays:.1f} Mrays/s steady, "
+          f"{mrays_incl:.1f} incl compile)", file=sys.stderr)
     name = f"cover_1200x800_{spp}spp_pallas.png"
     Image.fromarray(u8).save(f"gallery/{name}")
     manifest.record("gallery", name, {
@@ -101,6 +111,8 @@ def main() -> None:
         "backend": "pallas-interpret" if interpret else "pallas-tpu",
         "render_seconds": round(t, 1),
         "mrays_per_s": round(mrays, 1),
+        "mrays_per_s_incl_compile": round(mrays_incl, 1),
+        "batch_seconds": [round(x, 2) for x in batch_times],
         "mean_u8": round(float(u8.mean()), 3),
     })
     _stats(u8, ref, f"pallas {spp}spp vs reference golden")
